@@ -1,0 +1,165 @@
+"""Descriptor matching as batched MXU distance-matrix kernels.
+
+TPU-native replacement for all ORBmatcher entry points
+(src/vslam/src/ORBmatcher.cc).  The reference walks per-keypoint candidate
+lists (grid cells / BoW nodes) with scalar L2 loops; here every matcher is one
+[N, D] x [D, M] matmul on the MXU plus elementwise masks:
+
+- squared-L2 distance via |a|^2 + |b|^2 - 2 a.b  (DescriptorDistance parity:
+  ORBmatcher.cc's 4-way unrolled float loop);
+- candidate gating (search windows, predicted scale ranges, epipolar bands)
+  becomes an additive +inf mask on the distance matrix;
+- best/second-best with jnp for the ratio test (mfNNratio);
+- rotation-consistency via a 30-bin histogram keeping the top-3 bins
+  (HISTO_LENGTH=30, ORBmatcher.cc:39, CheckOrientation).
+
+Thresholds TH_HIGH=1.5 / TH_LOW=0.5 (squared L2 on unit descriptors,
+ORBmatcher.cc:37-38) are passed by callers from SlamConfig.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.inf
+
+
+def distance_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Squared L2 distances [N, M] between descriptor rows. MXU matmul."""
+    a2 = jnp.sum(a * a, axis=-1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=-1, keepdims=True)
+    ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    return jnp.maximum(a2 + b2.T - 2.0 * ab, 0.0)
+
+
+def nn_match(
+    dist: jnp.ndarray,
+    max_dist: float,
+    ratio: float = 1.0,
+    mutual: bool = False,
+):
+    """Row-wise nearest neighbour with Lowe ratio test.
+
+    dist: [N, M] (masked entries = +inf).
+    Returns (match_idx [N] int32, match_dist [N], valid [N] bool).
+    """
+    # top-2 smallest per row.  `ratio` and `mutual` must be trace-time
+    # constants (callers mark them static).
+    neg = -dist
+    top2, idx2 = jax.lax.top_k(neg, 2)
+    best = -top2[:, 0]
+    second = -top2[:, 1]
+    bi = idx2[:, 0]
+    ok = best <= max_dist
+    if ratio < 1.0:
+        # +inf second (no other candidate) passes the ratio test
+        ok = ok & (best < ratio * ratio_guard(second))
+    if mutual:
+        col_best = jnp.argmin(dist, axis=0)
+        ok = ok & (col_best[bi] == jnp.arange(dist.shape[0]))
+    return bi.astype(jnp.int32), best, ok
+
+
+def ratio_guard(x):
+    return jnp.where(jnp.isfinite(x), x, 1e30)
+
+
+def resolve_duplicates(match_idx, match_dist, valid, m_size: int):
+    """Keep only the best row for each matched column (the reference's
+    'already matched' bookkeeping, e.g. SearchForInitialization's vnMatches21).
+
+    Returns updated valid mask."""
+    # For each column, find min distance among rows matched to it.
+    big = jnp.where(valid, match_dist, INF)
+    col_min = jnp.full((m_size,), INF, big.dtype).at[match_idx].min(big, mode="drop")
+    is_best = big <= col_min[match_idx]
+    # tie-break duplicates with equal distance: keep lowest row index
+    rows = jnp.arange(match_idx.shape[0])
+    best_row = jnp.full((m_size,), match_idx.shape[0], jnp.int32).at[match_idx].min(
+        jnp.where(is_best & valid, rows, match_idx.shape[0]).astype(jnp.int32),
+        mode="drop",
+    )
+    return valid & is_best & (best_row[match_idx] == rows)
+
+
+def rotation_consistency(
+    angles_a: jnp.ndarray,
+    angles_b: jnp.ndarray,
+    match_idx: jnp.ndarray,
+    valid: jnp.ndarray,
+    histo_length: int = 30,
+    keep_bins: int = 3,
+):
+    """Rotation-histogram filter (ORBmatcher CheckOrientation semantics):
+    bin the angle differences of valid matches into `histo_length` bins and
+    keep only matches in the `keep_bins` most populated bins."""
+    rot = angles_a - angles_b[match_idx]
+    rot = jnp.mod(rot, 2.0 * jnp.pi)
+    bins = jnp.floor(rot * (histo_length / (2.0 * jnp.pi))).astype(jnp.int32)
+    bins = jnp.clip(bins, 0, histo_length - 1)
+    hist = jnp.zeros((histo_length,), jnp.int32).at[bins].add(valid.astype(jnp.int32))
+    _, top_bins = jax.lax.top_k(hist, keep_bins)
+    in_top = jnp.any(bins[:, None] == top_bins[None, :], axis=1)
+    return valid & in_top
+
+
+# --------------------------------------------------------------------------- #
+# Matcher entry points (masks composed on the distance matrix)
+# --------------------------------------------------------------------------- #
+def window_mask(uv_a, uv_b, radius, valid_a=None, valid_b=None):
+    """[N, M] additive mask: 0 where |uv_a_i - uv_b_j| <= radius else +inf."""
+    d = uv_a[:, None, :] - uv_b[None, :, :]
+    inside = jnp.sum(d * d, axis=-1) <= radius * radius
+    if valid_a is not None:
+        inside = inside & valid_a[:, None]
+    if valid_b is not None:
+        inside = inside & valid_b[None, :]
+    return jnp.where(inside, 0.0, INF)
+
+
+def level_mask(levels_a, levels_b, min_delta=-1, max_delta=1):
+    """Scale-consistency gate: match only if level_b in
+    [level_a + min_delta, level_a + max_delta] (reference's octave checks)."""
+    d = levels_b[None, :] - levels_a[:, None]
+    return jnp.where((d >= min_delta) & (d <= max_delta), 0.0, INF)
+
+
+@functools.partial(jax.jit, static_argnames=("ratio", "histo_length", "check_rotation"))
+def search_window(
+    desc_a, desc_b, uv_a, uv_b, valid_a, valid_b,
+    radius: float, max_dist: float, ratio: float,
+    angles_a=None, angles_b=None,
+    levels_a=None, levels_b=None,
+    histo_length: int = 30,
+    check_rotation: bool = False,
+):
+    """Generic windowed search: for each feature in A find the best match in B
+    within `radius` pixels of uv_a (covers SearchForInitialization and the
+    frame-to-frame SearchByProjection).
+
+    Returns (match_idx [N], match_dist [N], valid [N])."""
+    dist = distance_matrix(desc_a, desc_b)
+    dist = dist + window_mask(uv_a, uv_b, radius, valid_a, valid_b)
+    if levels_a is not None:
+        dist = dist + level_mask(levels_a, levels_b)
+    idx, d, ok = nn_match(dist, max_dist, ratio)
+    ok = resolve_duplicates(idx, d, ok, desc_b.shape[0])
+    if check_rotation and angles_a is not None:
+        ok = rotation_consistency(angles_a, angles_b, idx, ok, histo_length)
+    return idx, d, ok
+
+
+@functools.partial(jax.jit, static_argnames=("ratio",))
+def search_global(desc_a, desc_b, valid_a, valid_b, max_dist: float, ratio: float):
+    """Unconstrained NN search with ratio test — the TPU answer to
+    SearchByBoW: on the MXU a full [N, M] distance matrix is cheaper than
+    maintaining BoW-node candidate lists, so the node gating is dropped."""
+    dist = distance_matrix(desc_a, desc_b)
+    mask = valid_a[:, None] & valid_b[None, :]
+    dist = jnp.where(mask, dist, INF)
+    idx, d, ok = nn_match(dist, max_dist, ratio)
+    ok = resolve_duplicates(idx, d, ok, desc_b.shape[0])
+    return idx, d, ok
