@@ -16,4 +16,12 @@ validity masks; the host layer only sequences the state machine and IO.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Geometry/estimator einsums need true f32 matmuls: TPU's default bf16-pass
+# matmul breaks RANSAC model fitting (two-view init loses ~25% of its inliers
+# to rounding).  Hot bf16 paths (descriptor CNN, distance matrices) cast
+# explicitly and are unaffected.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from asdslam_tpu.config import SlamConfig  # noqa: F401

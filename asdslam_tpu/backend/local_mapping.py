@@ -1,0 +1,256 @@
+"""Local mapping: the synchronous per-keyframe back-end pass.
+
+Mirrors LocalMapping::DoMapping (src/vslam/src/LocalMapping.cc:59-113), run
+inline after keyframe insertion exactly like the reference (which is
+single-threaded):
+
+1. ProcessNewKeyFrame  — descriptor/normal refresh for associated points
+2. MapPointCulling     — found/visible < 0.25, or too few observations
+   (LocalMapping.cc:261-297)
+3. CreateNewMapPoints  — epipolar-constrained matching against the best
+   covisible KFs + midpoint triangulation + cheirality/parallax/reproj/
+   scale checks (299-556)
+4. SearchInNeighbors   — two-way projection fuse with neighbours (557-656)
+5. Local BA            — Schur-complement bundle adjustment over the
+   covisibility window (Optimizer.cc:415-735) with chi2 outlier pruning
+6. (KeyFrameCulling of >=90%-redundant KFs — LocalMapping.cc:739+)
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from asdslam_tpu.config import SlamConfig
+from asdslam_tpu.geometry import se3, triangulation
+from asdslam_tpu.ops import match
+from asdslam_tpu.backend import ba
+from asdslam_tpu.mapping.map_store import MapStore, _pose_np
+
+
+class LocalMapper:
+    def __init__(self, cfg: SlamConfig, K, store: MapStore, loop_closer=None):
+        self.cfg = cfg
+        self.K = jnp.asarray(K, jnp.float32)
+        self.store = store
+        self.loop_closer = loop_closer
+        self.inv_sigma2 = np.asarray(cfg.inv_level_sigma2, np.float32)
+        self.scale_factors = np.asarray(cfg.scale_factors, np.float32)
+        self.recent: List[Tuple[int, int]] = []  # (mp, created_at_kf)
+
+    def note_new_points(self, mps: List[int], kf: int):
+        self.recent.extend((m, kf) for m in mps)
+
+    # ------------------------------------------------------------------ #
+    def process(self, kf: int):
+        cfg = self.cfg
+        store = self.store
+        self._process_new_keyframe(kf)
+        self._cull_map_points(kf)
+        self._create_new_map_points(kf)
+        self._fuse_neighbors(kf)
+        if store.n_kf > 2:
+            self._local_ba(kf)
+        if self.loop_closer is not None:
+            self.loop_closer.process(kf)
+
+    # ------------------------------------------------------------------ #
+    def _process_new_keyframe(self, kf: int):
+        store = self.store
+        mps = store.kf_mp[kf]
+        for m in np.unique(mps[mps >= 0]):
+            store.compute_distinctive_descriptor(int(m))
+            store.update_normal_and_depth(int(m), self.scale_factors)
+
+    def _cull_map_points(self, kf: int):
+        store = self.store
+        keep = []
+        for m, born in self.recent:
+            if not store.mp_valid[m]:
+                continue
+            ratio = store.mp_found[m] / max(1, store.mp_visible[m])
+            age = kf - born
+            if ratio < self.cfg.mp_cull_min_found_ratio:
+                store.erase_map_point(m)
+            elif age >= 2 and store.mp_n_obs[m] <= self.cfg.mp_cull_min_obs:
+                store.erase_map_point(m)
+            elif age >= 3:
+                pass  # graduated
+            else:
+                keep.append((m, born))
+        self.recent = keep
+
+    # ------------------------------------------------------------------ #
+    def _create_new_map_points(self, kf1: int):
+        cfg = self.cfg
+        store = self.store
+        neighbors = store.covisible_kfs(kf1, min_weight=cfg.covis_weight_graph,
+                                        max_n=cfg.triangulation_neighbors)
+        if not neighbors:
+            return
+        f1 = store.kf_features[kf1]
+        R1, t1 = _pose_np(store.kf_pose[kf1])
+        c1 = -R1.T @ t1
+        new_points = []
+        K_np = np.asarray(self.K)
+        fmean = 0.5 * (K_np[0, 0] + K_np[1, 1])
+
+        # median scene depth for the baseline gate
+        mps1 = store.kf_mp[kf1]
+        mps1 = mps1[mps1 >= 0]
+        if len(mps1) == 0:
+            return
+        depths = (store.mp_pos[mps1] @ R1[2]) + t1[2]
+        median_depth = float(np.median(depths[depths > 0])) if (depths > 0).any() else 1.0
+
+        free1 = store.kf_mp[kf1] < 0
+        for kf2 in neighbors:
+            R2, t2 = _pose_np(store.kf_pose[kf2])
+            c2 = -R2.T @ t2
+            baseline = float(np.linalg.norm(c2 - c1))
+            if baseline / max(median_depth, 1e-6) < cfg.min_baseline_depth_ratio:
+                continue
+            f2 = store.kf_features[kf2]
+            free2 = store.kf_mp[kf2] < 0
+            F12 = match.fundamental_from_poses(
+                self.K, jnp.asarray(R1), jnp.asarray(t1), jnp.asarray(R2), jnp.asarray(t2))
+            inv_s2_2 = self.inv_sigma2[np.asarray(f2.level)]
+            idx, d, ok = match.search_triangulation(
+                f1.desc, f2.desc, f1.uv_und, f2.uv_und,
+                f1.valid & jnp.asarray(free1), f2.valid & jnp.asarray(free2),
+                F12, jnp.asarray(inv_s2_2),
+                max_dist=cfg.match_th_low * 2, ratio=0.9)
+            ok_np = np.asarray(ok)
+            if not ok_np.any():
+                continue
+            idx_np = np.asarray(idx)
+
+            # batched triangulation of candidate pairs
+            Kinv = np.linalg.inv(K_np)
+            uv1 = np.asarray(f1.uv_und)
+            uv2 = np.asarray(f2.uv_und)[idx_np]
+            xn1 = (np.concatenate([uv1, np.ones((len(uv1), 1))], 1) @ Kinv.T)[:, :2].astype(np.float32)
+            xn2 = (np.concatenate([uv2, np.ones((len(uv2), 1))], 1) @ Kinv.T)[:, :2].astype(np.float32)
+            N = len(xn1)
+            X = triangulation.triangulate_midpoint(
+                jnp.broadcast_to(jnp.asarray(R1), (N, 3, 3)), jnp.broadcast_to(jnp.asarray(t1), (N, 3)),
+                jnp.broadcast_to(jnp.asarray(R2), (N, 3, 3)), jnp.broadcast_to(jnp.asarray(t2), (N, 3)),
+                jnp.asarray(xn1), jnp.asarray(xn2))
+            e1, z1 = triangulation.reprojection_error2(jnp.asarray(R1), jnp.asarray(t1), X, jnp.asarray(xn1))
+            e2, z2 = triangulation.reprojection_error2(jnp.asarray(R2), jnp.asarray(t2), X, jnp.asarray(xn2))
+            cosp = triangulation.parallax_cos(jnp.asarray(c1), jnp.asarray(c2), X)
+
+            lvl1 = np.asarray(f1.level)
+            s2_1 = 1.0 / self.inv_sigma2[lvl1]
+            th1 = 5.991 * s2_1 / (fmean * fmean)
+            lvl2 = np.asarray(f2.level)[idx_np]
+            s2_2 = 1.0 / self.inv_sigma2[lvl2]
+            th2 = 5.991 * s2_2 / (fmean * fmean)
+            good = (ok_np & np.asarray(z1 > 0) & np.asarray(z2 > 0)
+                    & (np.asarray(e1) < th1) & (np.asarray(e2) < th2)
+                    & (np.asarray(cosp) < 0.9998))
+            X_np = np.asarray(X)
+            desc1 = np.asarray(f1.desc)
+            for i in np.nonzero(good)[0]:
+                if store.kf_mp[kf1, i] >= 0 or store.kf_mp[kf2, idx_np[i]] >= 0:
+                    continue
+                if store.n_mp >= store.max_pts:
+                    break
+                m = store.add_map_point(X_np[i], desc1[i], kf1)
+                store.add_observation(m, kf1, int(i))
+                store.add_observation(m, int(kf2), int(idx_np[i]))
+                store.update_normal_and_depth(m, self.scale_factors)
+                new_points.append(m)
+                free1[i] = False
+        self.note_new_points(new_points, kf1)
+
+    # ------------------------------------------------------------------ #
+    def _fuse_neighbors(self, kf: int):
+        """Two-way projection fuse (SearchInNeighbors).  Project this KF's
+        points into each neighbour; on a match, either merge duplicate points
+        or add the missing observation."""
+        cfg = self.cfg
+        store = self.store
+        neighbors = store.covisible_kfs(kf, min_weight=cfg.covis_weight_graph, max_n=10)
+        for a, b in [(kf, n) for n in neighbors] + [(n, kf) for n in neighbors]:
+            self._fuse_into(a, b)
+        # refresh descriptors of this KF's points after fusion
+        self._process_new_keyframe(kf)
+
+    def _fuse_into(self, src_kf: int, dst_kf: int):
+        cfg = self.cfg
+        store = self.store
+        from asdslam_tpu.frontend import visibility
+
+        mps = store.kf_mp[src_kf]
+        mps = np.unique(mps[mps >= 0])
+        mps = mps[store.mp_valid[mps]]
+        if len(mps) == 0:
+            return
+        P = cfg.local_ba_max_points
+        mps = mps[:P]
+        pad = P - len(mps)
+        mp_p = np.pad(mps, (0, pad), constant_values=0)
+        valid_a = np.pad(np.ones(len(mps), bool), (0, pad))
+        fd = store.kf_features[dst_kf]
+        uv, pred_level, view_cos, vis = visibility.project_points(
+            jnp.asarray(store.kf_pose[dst_kf]), self.K,
+            jnp.asarray(store.mp_pos[mp_p]), jnp.asarray(store.mp_normal[mp_p]),
+            jnp.asarray(store.mp_min_dist[mp_p]), jnp.asarray(store.mp_max_dist[mp_p]),
+            jnp.asarray(valid_a), float(cfg.image_width), float(cfg.image_height),
+            cfg.scale_factor, cfg.n_levels)
+        radii = cfg.fuse_radius * self.scale_factors[np.asarray(pred_level)]
+        idx, d, ok = match.search_projection(
+            jnp.asarray(store.mp_desc[mp_p]), fd.desc, uv, fd.uv_und,
+            vis, fd.valid, jnp.asarray(radii), cfg.match_th_high, ratio=1.0,
+            pred_level_a=pred_level, levels_b=fd.level)
+        ok_np = np.asarray(ok)
+        idx_np = np.asarray(idx)
+        for a in np.nonzero(ok_np)[0]:
+            m = int(mp_p[a])
+            feat = int(idx_np[a])
+            existing = int(store.kf_mp[dst_kf, feat])
+            if existing >= 0 and existing != m and store.mp_valid[existing]:
+                # merge: keep the more-observed point
+                if store.mp_n_obs[existing] >= store.mp_n_obs[m]:
+                    store.replace_map_point(m, existing)
+                else:
+                    store.replace_map_point(existing, m)
+            elif existing < 0:
+                store.add_observation(m, dst_kf, feat)
+
+    # ------------------------------------------------------------------ #
+    def _local_ba(self, kf: int):
+        cfg = self.cfg
+        store = self.store
+        from asdslam_tpu.frontend.tracking import _assemble_ba, _write_back
+
+        window = [kf] + store.covisible_kfs(kf, min_weight=cfg.covis_weight_graph,
+                                            max_n=cfg.local_ba_max_kfs - 1)
+        window_set = set(window)
+        # fixed anchors: KFs observing window points but outside the window
+        mp_ids = store.local_map_points(window)
+        fixed = []
+        for m in mp_ids:
+            n = store.mp_n_obs[m]
+            for kf2 in store.mp_obs_kf[m, :n]:
+                if kf2 not in window_set and kf2 not in fixed:
+                    fixed.append(int(kf2))
+        fixed = fixed[:cfg.local_ba_max_fixed]
+        # gauge: always fix at least one camera
+        if not fixed:
+            if len(window) > 1:
+                fixed = [window[-1]]
+                window = window[:-1]
+            else:
+                return
+        asm = _assemble_ba(store, window, fixed, cfg, self.inv_sigma2)
+        if asm is None:
+            return
+        poses, points, chi2 = ba.bundle_adjust(
+            asm.problem, self.K, n_opt=len(window),
+            iters=cfg.local_ba_iters1 + cfg.local_ba_iters2)
+        _write_back(store, asm, np.asarray(poses), np.asarray(points),
+                    np.asarray(chi2), chi2_th=cfg.chi2_mono)

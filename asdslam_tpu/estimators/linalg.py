@@ -1,0 +1,119 @@
+"""Small-matrix numerical primitives that avoid eigh/svd on TPU.
+
+TPU f32 `jnp.linalg.eigh`/`svd` are extremely slow to compile through the
+Mosaic/XLA path and imprecise for our needs, so RANSAC model solving uses:
+
+- `null_vector`: smallest right-singular vector of A via inverse power
+  iteration on A^T A + eps I (batched LU solves, which XLA compiles quickly);
+- `svd3`: full 3x3 SVD assembled from power/inverse-power iterations on
+  A^T A — enough accuracy for essential-matrix and homography decomposition.
+
+These replace the per-hypothesis cv::SVD calls inside the reference's
+Initializer (src/vslam/src/Initializer.cc ComputeH21/ComputeF21/Decompose).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _normalize(v):
+    return v / jnp.clip(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+
+
+def null_vector(A, iters: int = 12, eps: float = 1e-7):
+    """Unit vector x minimizing |A x| for batched A [..., m, n] (m >= n-1).
+
+    Inverse power iteration on (A^T A + eps*tr*I): converges to the
+    eigenvector of the smallest eigenvalue.  Deterministic start vector.
+    """
+    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
+    n = A.shape[-1]
+    tr = jnp.trace(AtA, axis1=-2, axis2=-1)[..., None, None] / n
+    M = AtA + eps * tr * jnp.eye(n, dtype=A.dtype)
+    lu = jax.scipy.linalg.lu_factor(M)
+
+    x0 = jnp.full(A.shape[:-2] + (n,), 1.0 / jnp.sqrt(n), A.dtype)
+
+    def body(_, x):
+        y = jax.scipy.linalg.lu_solve(lu, x[..., None])[..., 0]
+        return _normalize(y)
+
+    return jax.lax.fori_loop(0, iters, body, x0)
+
+
+def top_vector(M, iters: int = 50):
+    """Dominant eigenvector of symmetric PSD M [..., n, n] by power iteration."""
+    n = M.shape[-1]
+    # deterministic, slightly asymmetric start to avoid orthogonal stall
+    x0 = jnp.broadcast_to(
+        jnp.linspace(1.0, 1.3, n, dtype=M.dtype), M.shape[:-2] + (n,)
+    )
+    x0 = _normalize(x0)
+
+    def body(_, x):
+        return _normalize(jnp.einsum("...ij,...j->...i", M, x))
+
+    return jax.lax.fori_loop(0, iters, body, x0)
+
+
+def eigh3(S, sweeps: int = 10):
+    """Eigendecomposition of batched symmetric 3x3 via cyclic Jacobi.
+
+    Returns (w, V): eigenvalues DESCENDING, V columns = eigenvectors.
+    Branch-free, vectorizes over any leading batch dims; ~machine precision
+    after a few sweeps — unlike power iteration it handles clustered spectra
+    (the Faugeras homography case) without convergence loss.
+    """
+    batch = S.shape[:-2]
+    A = S
+    V = jnp.broadcast_to(jnp.eye(3, dtype=S.dtype), S.shape).copy()
+
+    def givens(A, V, p, q):
+        app = A[..., p, p]
+        aqq = A[..., q, q]
+        apq = A[..., p, q]
+        # rotation angle zeroing A[p,q]
+        theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
+        c = jnp.cos(theta)
+        s = jnp.sin(theta)
+        # build rotation as full matrix (batched)
+        R = jnp.broadcast_to(jnp.eye(3, dtype=S.dtype), A.shape).copy()
+        R = R.at[..., p, p].set(c)
+        R = R.at[..., q, q].set(c)
+        R = R.at[..., p, q].set(s)
+        R = R.at[..., q, p].set(-s)
+        A2 = jnp.swapaxes(R, -1, -2) @ A @ R
+        V2 = V @ R
+        return A2, V2
+
+    for _ in range(sweeps):
+        for (p, q) in ((0, 1), (0, 2), (1, 2)):
+            A, V = givens(A, V, p, q)
+
+    w = jnp.stack([A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]], axis=-1)
+    order = jnp.argsort(-w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    return w, V
+
+
+def svd3(A, sweeps: int = 10):
+    """SVD of batched 3x3 matrices: returns (U, s, Vt) with s descending.
+
+    V, s^2 from Jacobi eigh of A^T A; U columns from A v_i with a
+    cross-product completion for the smallest direction."""
+    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
+    w, V = eigh3(AtA, sweeps)
+    s = jnp.sqrt(jnp.clip(w, 0.0))
+    Av1 = jnp.einsum("...ij,...j->...i", A, V[..., 0])
+    Av2 = jnp.einsum("...ij,...j->...i", A, V[..., 1])
+    u1 = _normalize(Av1)
+    u2 = _normalize(Av2 - jnp.sum(Av2 * u1, axis=-1, keepdims=True) * u1)
+    u3 = jnp.cross(u1, u2)
+    Av3 = jnp.einsum("...ij,...j->...i", A, V[..., 2])
+    sgn = jnp.sign(jnp.sum(u3 * Av3, axis=-1) + 1e-30)
+    u3 = u3 * sgn[..., None]
+    U = jnp.stack([u1, u2, u3], axis=-1)
+    return U, s, jnp.swapaxes(V, -1, -2)

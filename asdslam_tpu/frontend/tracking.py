@@ -1,0 +1,493 @@
+"""Tracking front-end: the per-frame state machine.
+
+Host-side orchestration of device kernels, mirroring
+src/vslam/src/Tracking.cc:
+
+- states NO_IMAGES -> NOT_INITIALIZED -> OK/LOST (Tracking.h:76-82)
+- MonocularInitialization + CreateInitialMapMonocular (Tracking.cc:385-589)
+- TrackWithMotionModel (664-723, with the <20-matches widened retry)
+- TrackReferenceKeyFrame fallback (609-653)
+- TrackLocalMap (725-767) over a covisibility window capped at 80 KFs
+- NeedNewKeyFrame / CreateNewKeyFrame (770-801) which runs the local mapper
+  synchronously, as the reference does (Tracking.cc:797)
+
+All matching / optimization happens in fixed-shape jitted kernels; the host
+only sequences them and updates the SoA map store.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from asdslam_tpu.config import SlamConfig
+from asdslam_tpu.geometry import se3
+from asdslam_tpu.ops import match
+from asdslam_tpu.backend import ba
+from asdslam_tpu.estimators import twoview
+from asdslam_tpu.frontend import visibility
+from asdslam_tpu.mapping.map_store import MapStore
+
+NO_IMAGES = 0
+NOT_INITIALIZED = 1
+OK = 2
+LOST = 3
+
+
+class Tracker:
+    def __init__(self, cfg: SlamConfig, K, extractor, store: MapStore, local_mapper=None):
+        self.cfg = cfg
+        self.K = jnp.asarray(K, jnp.float32)
+        self.extract = extractor
+        self.store = store
+        self.local_mapper = local_mapper
+        self.state = NO_IMAGES
+
+        self.scale_factors = np.asarray(cfg.scale_factors, np.float32)
+        self.inv_sigma2 = np.asarray(cfg.inv_level_sigma2, np.float32)
+
+        # init buffers
+        self._init_feat = None
+        self._init_frame_id = None
+        self._rng = jax.random.PRNGKey(42)
+
+        # per-frame state
+        self.last_feat = None
+        self.last_pose = None          # np [7]
+        self.last_mp = None            # np [N] mp id per feature (-1)
+        self.last_frame_id = None
+        self.velocity = None           # np [7]: T_cur * T_last^-1
+        self.ref_kf = -1
+        self.last_kf_frame_id = -1
+        self.n_inliers = 0
+
+        self.trajectory = []           # (frame_id, pose7) after each frame
+
+    # ------------------------------------------------------------------ #
+    def process(self, image, frame_id: int) -> Optional[np.ndarray]:
+        feat = self.extract(image)
+        if self.state in (NO_IMAGES, NOT_INITIALIZED):
+            self.state = NOT_INITIALIZED
+            self._try_initialize(feat, frame_id)
+        elif self.state == OK:
+            self._track(feat, frame_id)
+        else:  # LOST: try to re-track against reference KF (simplified reloc)
+            ok = self._track_reference_kf(feat)
+            if ok:
+                self.state = OK
+                self._after_pose(feat, frame_id)
+            else:
+                self._save_frame(feat, frame_id, tracked=False)
+        if self.last_pose is not None and self.state == OK:
+            self.trajectory.append((frame_id, self.last_pose.copy()))
+            return self.last_pose
+        return None
+
+    # ------------------------------------------------------------------ #
+    # Initialization
+    # ------------------------------------------------------------------ #
+    def _try_initialize(self, feat, frame_id):
+        cfg = self.cfg
+        n_valid = int(np.asarray(feat.valid).sum())
+        if self._init_feat is None:
+            if n_valid > cfg.init_min_keypoints:
+                self._init_feat = feat
+                self._init_frame_id = frame_id
+            return
+        if n_valid <= cfg.init_min_keypoints:
+            self._init_feat = None
+            return
+
+        f0 = self._init_feat
+        idx, d, ok = match.search_window(
+            f0.desc, feat.desc, f0.uv_und, feat.uv_und, f0.valid, feat.valid,
+            radius=cfg.init_search_window, max_dist=cfg.match_th_low * 2,
+            ratio=0.9, angles_a=f0.angle, angles_b=feat.angle,
+            check_rotation=True,
+        )
+        n_matches = int(np.asarray(ok).sum())
+        if n_matches < cfg.init_min_matches:
+            self._init_feat = None
+            return
+
+        # gather matched pairs into fixed [N] arrays
+        uv1 = f0.uv_und
+        uv2 = feat.uv_und[idx]
+        self._rng, sub = jax.random.split(self._rng)
+        res = twoview.initialize_two_view(
+            sub, uv1, uv2, ok, self.K,
+            sigma=cfg.init_sigma, iters=cfg.init_ransac_iters,
+            min_triangulated=cfg.init_min_triangulated,
+        )
+        if not bool(res.success):
+            return
+
+        good = np.asarray(res.good)
+        idx_np = np.asarray(idx)
+        R, t = np.asarray(res.R), np.asarray(res.t)
+        pose1 = np.zeros(7, np.float32)
+        pose1[0] = 1.0
+        pose2 = np.asarray(se3.pose_pack(jnp.asarray(R), jnp.asarray(t)))
+
+        store = self.store
+        kf0 = store.add_keyframe(pose1, self._init_frame_id, f0)
+        kf1 = store.add_keyframe(pose2, frame_id, feat)
+
+        pts = np.asarray(res.points)
+        desc2 = np.asarray(feat.desc)
+        cur_mp = np.full(self.cfg.n_features, -1, np.int32)
+        for i in np.nonzero(good)[0]:
+            m = store.add_map_point(pts[i], desc2[idx_np[i]], kf0)
+            store.add_observation(m, kf0, int(i))
+            store.add_observation(m, kf1, int(idx_np[i]))
+            cur_mp[idx_np[i]] = m
+
+        # full BA on the initial map (GlobalBundleAdjustemnt(20), Tracking.cc:535)
+        self._initial_ba(kf0, kf1)
+
+        # scale so median depth of KF0 = 1 (Tracking.cc:539-565)
+        mps = store.local_map_points([kf0])
+        if len(mps) == 0:
+            return
+        depths = store.mp_pos[mps][:, 2]
+        med = float(np.median(depths))
+        if med < 1e-6:
+            self._reset()
+            return
+        store.mp_pos[store.mp_valid, :] /= med
+        for k in (kf0, kf1):
+            store.kf_pose[k][4:] /= med
+        for m in mps:
+            store.compute_distinctive_descriptor(m)
+            store.update_normal_and_depth(m, self.scale_factors)
+
+        self.state = OK
+        self.last_feat = feat
+        self.last_pose = store.kf_pose[kf1].copy()
+        self.last_mp = cur_mp
+        self.last_frame_id = frame_id
+        self.ref_kf = kf1
+        self.last_kf_frame_id = frame_id
+        self.velocity = None
+        if self.local_mapper is not None:
+            self.local_mapper.note_new_points(
+                [int(m) for m in mps], kf1)
+
+    def _initial_ba(self, kf0, kf1):
+        store = self.store
+        prob = _assemble_ba(self.store, [kf1], [kf0],
+                            self.cfg, self.inv_sigma2)
+        if prob is None:
+            return
+        poses, points, chi2 = ba.bundle_adjust(
+            prob.problem, self.K, n_opt=1, iters=self.cfg.global_ba_iters)
+        _write_back(self.store, prob, np.asarray(poses), np.asarray(points))
+
+    def _reset(self):
+        self.__init__(self.cfg, self.K, self.extract, self.store, self.local_mapper)
+
+    # ------------------------------------------------------------------ #
+    # Tracking
+    # ------------------------------------------------------------------ #
+    def _track(self, feat, frame_id):
+        ok = False
+        if self.velocity is not None:
+            ok = self._track_motion_model(feat)
+        if not ok:
+            ok = self._track_reference_kf(feat)
+        if not ok:
+            self.state = LOST
+            self._save_frame(feat, frame_id, tracked=False)
+            return
+        self._after_pose(feat, frame_id)
+
+    def _after_pose(self, feat, frame_id):
+        ok = self._track_local_map(feat)
+        if not ok:
+            self.state = LOST
+            self._save_frame(feat, frame_id, tracked=False)
+            return
+        # velocity update
+        if self.last_pose is not None and self._prev_pose is not None:
+            Tc = se3.pose_unpack(jnp.asarray(self.last_pose))
+            Tl = se3.pose_unpack(jnp.asarray(self._prev_pose))
+            Rv, tv = se3.compose(*Tc, *se3.inverse(*Tl))
+            self.velocity = np.asarray(se3.pose_pack(Rv, tv))
+        self._save_frame(feat, frame_id, tracked=True)
+        if self._need_new_kf(frame_id):
+            self._create_new_kf(feat, frame_id)
+
+    def _save_frame(self, feat, frame_id, tracked: bool):
+        self.last_feat = feat
+        self.last_frame_id = frame_id
+        if not tracked:
+            self.velocity = None
+
+    # ---- motion model ------------------------------------------------- #
+    def _track_motion_model(self, feat) -> bool:
+        cfg = self.cfg
+        pred = np.asarray(se3.pose_retract(
+            jnp.asarray(self.last_pose),
+            se3.se3_log(*se3.pose_unpack(jnp.asarray(self.velocity)))))
+        self._prev_pose = self.last_pose.copy()
+
+        # candidates: last frame's features bound to map points
+        has_mp = self.last_mp >= 0
+        if has_mp.sum() < 10:
+            return False
+        mp_ids = np.where(has_mp, self.last_mp, 0)
+        pos = self.store.mp_pos[mp_ids]
+        normal = self.store.mp_normal[mp_ids]
+        mind = self.store.mp_min_dist[mp_ids]
+        maxd = self.store.mp_max_dist[mp_ids]
+        valid_a = has_mp & self.store.mp_valid[mp_ids]
+
+        uv, pred_level, view_cos, vis = visibility.project_points(
+            jnp.asarray(pred), self.K, jnp.asarray(pos), jnp.asarray(normal),
+            jnp.asarray(mind), jnp.asarray(maxd), jnp.asarray(valid_a),
+            float(cfg.image_width), float(cfg.image_height),
+            cfg.scale_factor, cfg.n_levels, min_view_cos=-1.0,
+        )
+        last_levels = np.asarray(self.last_feat.level)
+        for radius in (cfg.search_radius_motion, cfg.search_radius_motion_wide):
+            radii = radius * self.scale_factors[last_levels]
+            idx, d, mok = match.search_projection(
+                self.last_feat.desc, feat.desc, uv, feat.uv_und,
+                vis, feat.valid, jnp.asarray(radii), cfg.match_th_high,
+                ratio=1.0, pred_level_a=self.last_feat.level,
+                levels_b=feat.level,
+            )
+            n = int(np.asarray(mok).sum())
+            if n >= cfg.min_motion_matches:
+                break
+        if n < cfg.min_motion_matches:
+            return False
+
+        # pose-only BA on matched points
+        idx_np = np.asarray(idx)
+        mok_np = np.asarray(mok)
+        cur_mp = np.full(cfg.n_features, -1, np.int32)
+        cur_mp[idx_np[mok_np]] = self.last_mp[mok_np]
+        return self._optimize_current(feat, cur_mp, pred, cfg.min_track_matches)
+
+    # ---- reference KF ------------------------------------------------- #
+    def _track_reference_kf(self, feat) -> bool:
+        cfg = self.cfg
+        if self.ref_kf < 0:
+            return False
+        self._prev_pose = self.last_pose.copy() if self.last_pose is not None else None
+        kf_feat = self.store.kf_features[self.ref_kf]
+        kf_mp = self.store.kf_mp[self.ref_kf]
+        has_mp = kf_mp >= 0
+        valid_a = jnp.asarray(has_mp) & kf_feat.valid
+        idx, d, mok = match.search_global(
+            kf_feat.desc, feat.desc, valid_a, feat.valid,
+            max_dist=cfg.match_th_low * 2, ratio=0.7,
+        )
+        mok_np = np.asarray(mok)
+        if mok_np.sum() < 15:
+            return False
+        idx_np = np.asarray(idx)
+        cur_mp = np.full(cfg.n_features, -1, np.int32)
+        cur_mp[idx_np[mok_np]] = kf_mp[mok_np]
+        start = self.last_pose if self.last_pose is not None else self.store.kf_pose[self.ref_kf]
+        return self._optimize_current(feat, cur_mp, start, cfg.min_track_matches)
+
+    def _optimize_current(self, feat, cur_mp, pose_init, min_inliers) -> bool:
+        cfg = self.cfg
+        has = cur_mp >= 0
+        mp_ids = np.where(has, cur_mp, 0)
+        pos = self.store.mp_pos[mp_ids]
+        valid = has & self.store.mp_valid[mp_ids]
+        inv_s2 = self.inv_sigma2[np.asarray(feat.level)]
+        pose, inl, n_in = ba.pose_only_optimize(
+            jnp.asarray(pose_init), jnp.asarray(pos), feat.uv_und,
+            jnp.asarray(inv_s2), jnp.asarray(valid), self.K,
+            rounds=cfg.pose_opt_rounds, iters=cfg.pose_opt_iters,
+        )
+        n_in = int(n_in)
+        if n_in < min_inliers:
+            return False
+        inl_np = np.asarray(inl)
+        cur_mp[~inl_np] = -1
+        self.cur_mp = cur_mp
+        self.last_pose = np.asarray(pose)
+        self.n_inliers = n_in
+        return True
+
+    # ---- local map ---------------------------------------------------- #
+    def _track_local_map(self, feat) -> bool:
+        cfg = self.cfg
+        store = self.store
+        cur_mp = self.cur_mp
+
+        # local KFs: observers of current points, + their neighbours (<=80)
+        obs_kfs = {}
+        for m in cur_mp[cur_mp >= 0]:
+            n = store.mp_n_obs[m]
+            for kf in store.mp_obs_kf[m, :n]:
+                obs_kfs[kf] = obs_kfs.get(kf, 0) + 1
+        if not obs_kfs:
+            return False
+        self.ref_kf = max(obs_kfs, key=obs_kfs.get)
+        local_kfs = sorted(obs_kfs, key=obs_kfs.get, reverse=True)
+        for kf in list(local_kfs):
+            if len(local_kfs) >= cfg.local_window_kfs:
+                break
+            for nb in store.covisible_kfs(int(kf), min_weight=cfg.covis_weight_graph, max_n=10):
+                if nb not in obs_kfs and len(local_kfs) < cfg.local_window_kfs:
+                    obs_kfs[nb] = 0
+                    local_kfs.append(nb)
+
+        mp_ids = store.local_map_points([int(k) for k in local_kfs])
+        already = set(cur_mp[cur_mp >= 0].tolist())
+        cand = np.array([m for m in mp_ids if m not in already], np.int32)
+        if len(cand):
+            store.mp_visible[cand] += 1  # coarse IncreaseVisible
+            P = cfg.local_ba_max_points
+            cand = cand[:P]
+            pad = P - len(cand)
+            cand_p = np.pad(cand, (0, pad), constant_values=0)
+            valid_a = np.pad(np.ones(len(cand), bool), (0, pad))
+            uv, pred_level, view_cos, vis = visibility.project_points(
+                jnp.asarray(self.last_pose), self.K,
+                jnp.asarray(store.mp_pos[cand_p]), jnp.asarray(store.mp_normal[cand_p]),
+                jnp.asarray(store.mp_min_dist[cand_p]), jnp.asarray(store.mp_max_dist[cand_p]),
+                jnp.asarray(valid_a), float(cfg.image_width), float(cfg.image_height),
+                cfg.scale_factor, cfg.n_levels,
+            )
+            radii = 4.0 * self.scale_factors[np.asarray(pred_level)]
+            skip_b = jnp.asarray(cur_mp >= 0)
+            idx, d, mok = match.search_projection(
+                jnp.asarray(store.mp_desc[cand_p]), feat.desc, uv, feat.uv_und,
+                vis, feat.valid, jnp.asarray(radii), cfg.match_th_high,
+                ratio=0.8, pred_level_a=pred_level, levels_b=feat.level,
+                skip_b=skip_b,
+            )
+            mok_np = np.asarray(mok)
+            idx_np = np.asarray(idx)
+            for a in np.nonzero(mok_np)[0]:
+                f = idx_np[a]
+                if cur_mp[f] < 0:
+                    cur_mp[f] = cand_p[a]
+
+        # final pose optimization with all matches
+        ok = self._optimize_current(feat, cur_mp, self.last_pose, cfg.min_localmap_matches)
+        if ok:
+            found = self.cur_mp[self.cur_mp >= 0]
+            store.mp_found[found] += 1
+            store.mp_visible[found] += 1
+        return ok
+
+    # ---- keyframe policy ---------------------------------------------- #
+    def _need_new_kf(self, frame_id) -> bool:
+        cfg = self.cfg
+        if self.n_inliers < cfg.min_match_count:
+            return True
+        return frame_id >= self.last_kf_frame_id + cfg.max_step_kf
+
+    def _create_new_kf(self, feat, frame_id):
+        store = self.store
+        kf = store.add_keyframe(self.last_pose, frame_id, feat)
+        for f in np.nonzero(self.cur_mp >= 0)[0]:
+            store.add_observation(int(self.cur_mp[f]), kf, int(f))
+        self.ref_kf = kf
+        self.last_kf_frame_id = frame_id
+        self.last_mp = self.cur_mp.copy()
+        if self.local_mapper is not None:
+            self.local_mapper.process(kf)
+            # mapping may have adjusted poses: refresh
+            self.last_pose = store.kf_pose[kf].copy()
+            self.last_mp = store.kf_mp[kf].copy()
+        # keep frame->mp binding fresh for the motion model
+        self.cur_mp = self.last_mp.copy()
+
+    _prev_pose = None
+
+
+# --------------------------------------------------------------------------- #
+# BA assembly helpers (shared with local mapping)
+# --------------------------------------------------------------------------- #
+class AssembledBA:
+    def __init__(self, problem, opt_kfs, fixed_kfs, mp_ids, obs_map):
+        self.problem = problem
+        self.opt_kfs = opt_kfs
+        self.fixed_kfs = fixed_kfs
+        self.mp_ids = mp_ids
+        self.obs_map = obs_map  # list of (mp, kf, feat) per obs row
+
+
+def _assemble_ba(store: MapStore, opt_kfs, fixed_kfs, cfg: SlamConfig, inv_sigma2_lut,
+                 max_points=None, max_obs=None):
+    """Build a fixed-shape BAProblem from the store for the given KF window."""
+    max_points = max_points or cfg.local_ba_max_points
+    max_obs = max_obs or cfg.local_ba_max_obs
+    opt_kfs = [int(k) for k in opt_kfs]
+    fixed_kfs = [int(k) for k in fixed_kfs]
+    all_kfs = opt_kfs + fixed_kfs
+    kf_slot = {k: i for i, k in enumerate(all_kfs)}
+
+    mp_ids = store.local_map_points(opt_kfs)
+    mp_ids = mp_ids[:max_points]
+    if len(mp_ids) == 0:
+        return None
+    mp_slot = {int(m): i for i, m in enumerate(mp_ids)}
+
+    rows = []
+    for mi, m in enumerate(mp_ids):
+        n = int(store.mp_n_obs[m])
+        for i in range(n):
+            kf = int(store.mp_obs_kf[m, i])
+            if kf not in kf_slot:
+                continue
+            feat = int(store.mp_obs_feat[m, i])
+            rows.append((int(m), kf, feat))
+            if len(rows) >= max_obs:
+                break
+        if len(rows) >= max_obs:
+            break
+
+    O = max_obs
+    cam_idx = np.zeros(O, np.int32)
+    pt_idx = np.zeros(O, np.int32)
+    uv = np.zeros((O, 2), np.float32)
+    inv_s2 = np.ones(O, np.float32)
+    valid = np.zeros(O, bool)
+    for o, (m, kf, feat) in enumerate(rows):
+        cam_idx[o] = kf_slot[kf]
+        pt_idx[o] = mp_slot[m]
+        ffeat = store.kf_features[kf]
+        uv[o] = np.asarray(ffeat.uv_und[feat])
+        inv_s2[o] = inv_sigma2_lut[int(np.asarray(ffeat.level[feat]))]
+        valid[o] = True
+
+    P = max_points
+    points = np.zeros((P, 3), np.float32)
+    pt_valid = np.zeros(P, bool)
+    points[:len(mp_ids)] = store.mp_pos[mp_ids]
+    pt_valid[:len(mp_ids)] = True
+
+    poses = store.kf_pose[np.asarray(all_kfs)]
+    k_max = min(len(all_kfs), store.max_obs)
+    pt_obs = ba.build_pt_obs(pt_idx, valid, P, k_max)
+
+    obs = ba.Obs(cam_idx=jnp.asarray(cam_idx), pt_idx=jnp.asarray(pt_idx),
+                 uv=jnp.asarray(uv), inv_sigma2=jnp.asarray(inv_s2),
+                 valid=jnp.asarray(valid))
+    problem = ba.BAProblem(poses7=jnp.asarray(poses), points=jnp.asarray(points),
+                           pt_valid=jnp.asarray(pt_valid), obs=obs,
+                           pt_obs=jnp.asarray(pt_obs))
+    return AssembledBA(problem, opt_kfs, fixed_kfs, mp_ids, rows)
+
+
+def _write_back(store: MapStore, asm: AssembledBA, poses, points, chi2=None, chi2_th=5.991):
+    for i, k in enumerate(asm.opt_kfs):
+        store.set_kf_pose(k, poses[i])
+    store.mp_pos[asm.mp_ids] = points[:len(asm.mp_ids)]
+    if chi2 is not None:
+        for o, (m, kf, feat) in enumerate(asm.obs_map):
+            if chi2[o] > chi2_th:
+                store.erase_observation(m, kf)

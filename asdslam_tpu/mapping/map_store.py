@@ -1,0 +1,255 @@
+"""Struct-of-arrays map store: keyframes, map points, observations.
+
+Replaces the pointer-graph Map/KeyFrame/MapPoint object model of the
+reference (src/vslam/src/{Map,KeyFrame,MapPoint}.cc) with flat arrays of
+static capacity + validity masks.  The store lives on the HOST (numpy) — it
+is irregular bookkeeping, not compute; every pipeline kernel receives
+fixed-shape device slices assembled from it.  Per-keyframe feature tensors
+(descriptors, keypoints) stay on DEVICE as the FrameFeatures pytrees produced
+at extraction time, so matching/BA never re-uploads them.
+
+Key relations:
+- kf_mp[k, i]  = map-point id observed by feature i of keyframe k (-1 = none)
+  (the inverse of MapPoint::mObservations)
+- mp_obs[m, :] = packed (kf_id, feat_idx) observation list per point
+- covisibility weights are derived on demand from shared observations
+  (KeyFrame::UpdateConnections, KeyFrame.cc:533+); no cached adjacency.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+class MapStore:
+    def __init__(self, max_kfs: int, max_pts: int, n_feat: int, max_obs: int = 32):
+        self.max_kfs = max_kfs
+        self.max_pts = max_pts
+        self.n_feat = n_feat
+        self.max_obs = max_obs
+
+        # keyframes
+        self.n_kf = 0
+        self.kf_pose = np.zeros((max_kfs, 7), np.float32)  # T_cw packed (q, t)
+        self.kf_pose[:, 0] = 1.0
+        self.kf_frame_id = np.full(max_kfs, -1, np.int64)
+        self.kf_valid = np.zeros(max_kfs, bool)
+        self.kf_mp = np.full((max_kfs, n_feat), -1, np.int32)
+        self.kf_features: List[object] = []  # device FrameFeatures per KF
+
+        # map points
+        self.n_mp = 0
+        self.mp_pos = np.zeros((max_pts, 3), np.float32)
+        self.mp_desc = np.zeros((max_pts, 128), np.float32)
+        self.mp_normal = np.zeros((max_pts, 3), np.float32)
+        self.mp_min_dist = np.zeros(max_pts, np.float32)
+        self.mp_max_dist = np.zeros(max_pts, np.float32)
+        self.mp_valid = np.zeros(max_pts, bool)
+        self.mp_first_kf = np.full(max_pts, -1, np.int32)
+        self.mp_found = np.zeros(max_pts, np.int32)    # MapPoint::IncreaseFound
+        self.mp_visible = np.zeros(max_pts, np.int32)  # MapPoint::IncreaseVisible
+        self.mp_obs_kf = np.full((max_pts, max_obs), -1, np.int32)
+        self.mp_obs_feat = np.full((max_pts, max_obs), -1, np.int32)
+        self.mp_n_obs = np.zeros(max_pts, np.int32)
+
+    # ------------------------------------------------------------------ #
+    # Keyframes
+    # ------------------------------------------------------------------ #
+    def add_keyframe(self, pose7: np.ndarray, frame_id: int, features) -> int:
+        k = self.n_kf
+        if k >= self.max_kfs:
+            raise RuntimeError("keyframe capacity exceeded")
+        self.kf_pose[k] = np.asarray(pose7, np.float32)
+        self.kf_frame_id[k] = frame_id
+        self.kf_valid[k] = True
+        self.kf_features.append(features)
+        self.n_kf += 1
+        return k
+
+    def set_kf_pose(self, k: int, pose7: np.ndarray):
+        self.kf_pose[k] = np.asarray(pose7, np.float32)
+
+    # ------------------------------------------------------------------ #
+    # Map points
+    # ------------------------------------------------------------------ #
+    def add_map_point(self, pos, desc, first_kf: int) -> int:
+        m = self.n_mp
+        if m >= self.max_pts:
+            raise RuntimeError("map point capacity exceeded")
+        self.mp_pos[m] = np.asarray(pos, np.float32)
+        self.mp_desc[m] = np.asarray(desc, np.float32)
+        self.mp_valid[m] = True
+        self.mp_first_kf[m] = first_kf
+        self.mp_found[m] = 1
+        self.mp_visible[m] = 1
+        self.n_mp += 1
+        return m
+
+    def add_observation(self, mp: int, kf: int, feat: int):
+        if not self.mp_valid[mp]:
+            return
+        n = self.mp_n_obs[mp]
+        if n >= self.max_obs:
+            return
+        # no duplicate obs of the same KF
+        if (self.mp_obs_kf[mp, :n] == kf).any():
+            return
+        self.mp_obs_kf[mp, n] = kf
+        self.mp_obs_feat[mp, n] = feat
+        self.mp_n_obs[mp] = n + 1
+        self.kf_mp[kf, feat] = mp
+
+    def erase_observation(self, mp: int, kf: int):
+        n = self.mp_n_obs[mp]
+        sel = self.mp_obs_kf[mp, :n] == kf
+        if not sel.any():
+            return
+        i = int(np.argmax(sel))
+        feat = self.mp_obs_feat[mp, i]
+        if self.kf_mp[kf, feat] == mp:
+            self.kf_mp[kf, feat] = -1
+        self.mp_obs_kf[mp, i:n - 1] = self.mp_obs_kf[mp, i + 1:n]
+        self.mp_obs_feat[mp, i:n - 1] = self.mp_obs_feat[mp, i + 1:n]
+        self.mp_obs_kf[mp, n - 1] = -1
+        self.mp_obs_feat[mp, n - 1] = -1
+        self.mp_n_obs[mp] = n - 1
+        if self.mp_n_obs[mp] <= 1 and self.mp_first_kf[mp] != kf:
+            # degenerate point: keep but it becomes cull candidate
+            pass
+
+    def erase_map_point(self, mp: int):
+        n = self.mp_n_obs[mp]
+        for i in range(n):
+            kf = self.mp_obs_kf[mp, i]
+            feat = self.mp_obs_feat[mp, i]
+            if kf >= 0 and self.kf_mp[kf, feat] == mp:
+                self.kf_mp[kf, feat] = -1
+        self.mp_obs_kf[mp, :] = -1
+        self.mp_obs_feat[mp, :] = -1
+        self.mp_n_obs[mp] = 0
+        self.mp_valid[mp] = False
+
+    def replace_map_point(self, old: int, new: int):
+        """MapPoint::Replace — rebind all observations of `old` to `new`."""
+        if old == new:
+            return
+        n = self.mp_n_obs[old]
+        for i in range(int(n)):
+            kf = int(self.mp_obs_kf[old, i])
+            feat = int(self.mp_obs_feat[old, i])
+            if kf < 0:
+                continue
+            if (self.mp_obs_kf[new, :self.mp_n_obs[new]] == kf).any():
+                # new already seen in this KF: drop the old binding
+                if self.kf_mp[kf, feat] == old:
+                    self.kf_mp[kf, feat] = -1
+            else:
+                self.mp_obs_kf[new, self.mp_n_obs[new]] = kf
+                self.mp_obs_feat[new, self.mp_n_obs[new]] = feat
+                self.mp_n_obs[new] += 1
+                self.kf_mp[kf, feat] = new
+                if self.mp_n_obs[new] >= self.max_obs:
+                    break
+        self.mp_found[new] += self.mp_found[old]
+        self.mp_visible[new] += self.mp_visible[old]
+        self.mp_obs_kf[old, :] = -1
+        self.mp_obs_feat[old, :] = -1
+        self.mp_n_obs[old] = 0
+        self.mp_valid[old] = False
+
+    # ------------------------------------------------------------------ #
+    # Covisibility
+    # ------------------------------------------------------------------ #
+    def covisibility_weights(self, kf: int) -> Dict[int, int]:
+        """Shared-observation counts between `kf` and every other KF
+        (KeyFrame::UpdateConnections semantics)."""
+        mps = self.kf_mp[kf]
+        mps = mps[mps >= 0]
+        if len(mps) == 0:
+            return {}
+        obs_kfs = self.mp_obs_kf[mps]  # [n, max_obs]
+        flat = obs_kfs[obs_kfs >= 0]
+        flat = flat[flat != kf]
+        if len(flat) == 0:
+            return {}
+        ids, counts = np.unique(flat, return_counts=True)
+        return dict(zip(ids.tolist(), counts.tolist()))
+
+    def covisible_kfs(self, kf: int, min_weight: int = 15, max_n: Optional[int] = None) -> List[int]:
+        w = self.covisibility_weights(kf)
+        items = sorted(((c, k) for k, c in w.items() if c >= min_weight), reverse=True)
+        out = [k for _, k in items]
+        return out[:max_n] if max_n else out
+
+    # ------------------------------------------------------------------ #
+    # Queries for kernel assembly
+    # ------------------------------------------------------------------ #
+    def local_map_points(self, kf_ids: List[int]) -> np.ndarray:
+        """Unique valid map-point ids observed by the given KFs."""
+        if not kf_ids:
+            return np.zeros(0, np.int32)
+        mps = self.kf_mp[np.asarray(kf_ids)]
+        mps = np.unique(mps[mps >= 0])
+        return mps[self.mp_valid[mps]]
+
+    def compute_distinctive_descriptor(self, mp: int):
+        """Min-median-distance descriptor among observations
+        (MapPoint::ComputeDistinctiveDescriptors, MapPoint.cc:271-340)."""
+        import numpy as np
+        n = int(self.mp_n_obs[mp])
+        if n == 0:
+            return
+        descs = []
+        for i in range(n):
+            kf = int(self.mp_obs_kf[mp, i])
+            feat = int(self.mp_obs_feat[mp, i])
+            descs.append(np.asarray(self.kf_features[kf].desc[feat]))
+        D = np.stack(descs)
+        d2 = ((D[:, None, :] - D[None, :, :]) ** 2).sum(-1)
+        med = np.median(d2, axis=1)
+        self.mp_desc[mp] = D[int(np.argmin(med))]
+
+    def update_normal_and_depth(self, mp: int, scale_factors, level_of_obs=None):
+        """MapPoint::UpdateNormalAndDepth: mean viewing direction + scale
+        invariance distance range."""
+        n = int(self.mp_n_obs[mp])
+        if n == 0:
+            return
+        from asdslam_tpu.geometry import se3 as se3m
+        import jax.numpy as jnp
+        pos = self.mp_pos[mp]
+        normals = []
+        for i in range(n):
+            kf = int(self.mp_obs_kf[mp, i])
+            R, t = _pose_np(self.kf_pose[kf])
+            c = -R.T @ t
+            v = pos - c
+            nv = np.linalg.norm(v)
+            if nv > 1e-9:
+                normals.append(v / nv)
+        if not normals:
+            return
+        self.mp_normal[mp] = np.mean(normals, axis=0)
+        # reference KF = first observation
+        kf0 = int(self.mp_obs_kf[mp, 0])
+        feat0 = int(self.mp_obs_feat[mp, 0])
+        R, t = _pose_np(self.kf_pose[kf0])
+        dist = np.linalg.norm(pos - (-R.T @ t))
+        level = int(np.asarray(self.kf_features[kf0].level[feat0]))
+        sf = scale_factors[level]
+        n_levels = len(scale_factors)
+        self.mp_max_dist[mp] = dist * sf
+        self.mp_min_dist[mp] = self.mp_max_dist[mp] / scale_factors[n_levels - 1]
+
+
+def _pose_np(pose7: np.ndarray):
+    """Packed pose -> (R, t) in numpy."""
+    w, x, y, z = pose7[:4] / np.linalg.norm(pose7[:4])
+    R = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
+    return R, pose7[4:7].astype(np.float32)

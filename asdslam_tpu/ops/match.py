@@ -110,14 +110,44 @@ def rotation_consistency(
 # Matcher entry points (masks composed on the distance matrix)
 # --------------------------------------------------------------------------- #
 def window_mask(uv_a, uv_b, radius, valid_a=None, valid_b=None):
-    """[N, M] additive mask: 0 where |uv_a_i - uv_b_j| <= radius else +inf."""
+    """[N, M] additive mask: 0 where |uv_a_i - uv_b_j| <= radius else +inf.
+
+    `radius` may be scalar or per-row [N] (scale-dependent search windows)."""
     d = uv_a[:, None, :] - uv_b[None, :, :]
-    inside = jnp.sum(d * d, axis=-1) <= radius * radius
+    r = jnp.asarray(radius)
+    r2 = (r * r) if r.ndim == 0 else (r * r)[:, None]
+    inside = jnp.sum(d * d, axis=-1) <= r2
     if valid_a is not None:
         inside = inside & valid_a[:, None]
     if valid_b is not None:
         inside = inside & valid_b[None, :]
     return jnp.where(inside, 0.0, INF)
+
+
+def epipolar_mask(F12, uv1, uv2, inv_sigma2_2, chi2_th: float = 3.84):
+    """[N, M] additive mask keeping pairs whose point-to-epipolar-line distance
+    in image 2 passes the chi2 gate (ORBmatcher::CheckDistEpipolarLine)."""
+    h1 = jnp.concatenate([uv1, jnp.ones_like(uv1[:, :1])], axis=1)
+    h2 = jnp.concatenate([uv2, jnp.ones_like(uv2[:, :1])], axis=1)
+    l2 = h1 @ F12.T                      # lines in image 2, [N, 3]
+    num = (l2 @ h2.T) ** 2               # [N, M]
+    den = (l2[:, 0] ** 2 + l2[:, 1] ** 2)[:, None]
+    dsqr = num / jnp.clip(den, 1e-12)
+    ok = dsqr * inv_sigma2_2[None, :] < chi2_th
+    return jnp.where(ok, 0.0, INF)
+
+
+def fundamental_from_poses(K, R1, t1, R2, t2):
+    """F12 such that x2^T F12 x1 = 0 for poses T_1w, T_2w (world->cam)."""
+    R12 = R2 @ R1.T
+    t12 = t2 - jnp.einsum("ij,j->i", R12, t1)
+    tx = jnp.array([
+        [0.0, -t12[2], t12[1]],
+        [t12[2], 0.0, -t12[0]],
+        [-t12[1], t12[0], 0.0],
+    ])
+    Kinv = jnp.linalg.inv(K)
+    return Kinv.T @ tx @ R12 @ Kinv
 
 
 def level_mask(levels_a, levels_b, min_delta=-1, max_delta=1):
@@ -149,6 +179,47 @@ def search_window(
     ok = resolve_duplicates(idx, d, ok, desc_b.shape[0])
     if check_rotation and angles_a is not None:
         ok = rotation_consistency(angles_a, angles_b, idx, ok, histo_length)
+    return idx, d, ok
+
+
+@functools.partial(jax.jit, static_argnames=("ratio", "level_window"))
+def search_projection(
+    desc_a, desc_b, uv_proj_a, uv_b, valid_a, valid_b,
+    radius_a, max_dist: float, ratio: float,
+    pred_level_a=None, levels_b=None, level_window: int = 1,
+    skip_b=None,
+):
+    """Map-point -> frame projection search (SearchByProjection overloads).
+
+    A = projected candidates (map points / last-frame features), B = current
+    frame features.  radius_a: per-candidate search radius (scale-dependent).
+    skip_b: bool [M] features to exclude (already matched).
+    Returns (match_idx [N], dist [N], valid [N])."""
+    dist = distance_matrix(desc_a, desc_b)
+    dist = dist + window_mask(uv_proj_a, uv_b, radius_a, valid_a, valid_b)
+    if pred_level_a is not None:
+        dist = dist + level_mask(pred_level_a, levels_b, -level_window, level_window)
+    if skip_b is not None:
+        dist = jnp.where(skip_b[None, :], INF, dist)
+    idx, d, ok = nn_match(dist, max_dist, ratio)
+    ok = resolve_duplicates(idx, d, ok, desc_b.shape[0])
+    return idx, d, ok
+
+
+@functools.partial(jax.jit, static_argnames=("ratio",))
+def search_triangulation(
+    desc1, desc2, uv1, uv2, valid1, valid2, F12, inv_sigma2_2,
+    max_dist: float, ratio: float = 1.0,
+):
+    """Epipolar-constrained matching of unmatched features between two KFs
+    (ORBmatcher::SearchForTriangulation without the BoW-node gating — the MXU
+    prefers the full matrix)."""
+    dist = distance_matrix(desc1, desc2)
+    mask = valid1[:, None] & valid2[None, :]
+    dist = jnp.where(mask, dist, INF)
+    dist = dist + epipolar_mask(F12, uv1, uv2, inv_sigma2_2)
+    idx, d, ok = nn_match(dist, max_dist, ratio)
+    ok = resolve_duplicates(idx, d, ok, desc2.shape[0])
     return idx, d, ok
 
 

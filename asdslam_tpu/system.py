@@ -1,0 +1,102 @@
+"""System facade: wires extractor, tracker, local mapper, (loop closer).
+
+Mirror of src/vslam/src/System.cc — construction (System.cc:112-144),
+TrackMonocular (146-150), trajectory export (SaveKeyFrameTrajectoryTUM,
+446-480).  Map persistence and localization mode are layered on in
+asdslam_tpu.mapping.persistence.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from asdslam_tpu.config import SlamConfig
+from asdslam_tpu.frontend import extractor as extractor_mod
+from asdslam_tpu.frontend.tracking import Tracker
+from asdslam_tpu.backend.local_mapping import LocalMapper
+from asdslam_tpu.mapping.map_store import MapStore, _pose_np
+from asdslam_tpu.models import asdnet
+
+
+class System:
+    def __init__(self, cfg: SlamConfig, asdnet_params=None, do_loop_closing: bool = False,
+                 descriptor_fn=None):
+        self.cfg = cfg
+        self.K = jnp.array(
+            [[cfg.fx, 0.0, cfg.cx], [0.0, cfg.fy, cfg.cy], [0.0, 0.0, 1.0]],
+            jnp.float32)
+
+        if descriptor_fn is None:
+            if asdnet_params is None:
+                asdnet_params = asdnet.init_params(jax.random.PRNGKey(0))
+            self.asdnet_params = asdnet_params
+            descriptor_fn = lambda patches: asdnet.apply(asdnet_params, patches)
+        self.extract = extractor_mod.make_extractor(cfg, descriptor_fn)
+
+        self.store = MapStore(cfg.max_keyframes, cfg.max_map_points,
+                              cfg.n_features, cfg.max_obs_per_point)
+        self.loop_closer = None
+        if do_loop_closing:
+            from asdslam_tpu.loop.loop_closing import LoopCloser
+            self.loop_closer = LoopCloser(cfg, self.K, self.store)
+        self.local_mapper = LocalMapper(cfg, self.K, self.store, self.loop_closer)
+        self.tracker = Tracker(cfg, self.K, self.extract, self.store, self.local_mapper)
+
+    def track_monocular(self, image, frame_id: int) -> Optional[np.ndarray]:
+        """image: [H, W] float32 in [0, 1].  Returns pose7 T_cw or None."""
+        return self.tracker.process(jnp.asarray(image, jnp.float32), frame_id)
+
+    # ------------------------------------------------------------------ #
+    def keyframe_trajectory(self):
+        """[(frame_id, pose7 T_cw)] for all keyframes."""
+        s = self.store
+        return [(int(s.kf_frame_id[k]), s.kf_pose[k].copy())
+                for k in range(s.n_kf) if s.kf_valid[k]]
+
+    def frame_trajectory(self):
+        return list(self.tracker.trajectory)
+
+    def save_trajectory_tum(self, path: str, timestamps=None):
+        """TUM format: ts tx ty tz qx qy qz qw, pose = T_wc (inverted)."""
+        with open(path, "w") as f:
+            for frame_id, pose7 in self.keyframe_trajectory():
+                R, t = _pose_np(pose7)
+                Rwc = R.T
+                twc = -R.T @ t
+                q = _mat_to_quat_np(Rwc)
+                ts = frame_id if timestamps is None else timestamps[frame_id]
+                f.write("%f %f %f %f %f %f %f %f\n" % (
+                    ts, twc[0], twc[1], twc[2], q[1], q[2], q[3], q[0]))
+
+    def stats(self):
+        s = self.store
+        return {
+            "n_keyframes": int(s.kf_valid.sum()),
+            "n_map_points": int(s.mp_valid.sum()),
+            "n_frames_tracked": len(self.tracker.trajectory),
+            "state": self.tracker.state,
+        }
+
+
+def _mat_to_quat_np(R):
+    tr = np.trace(R)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        return np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                         (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    i = int(np.argmax(np.diag(R)))
+    if i == 0:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2
+        return np.array([(R[2, 1] - R[1, 2]) / s, 0.25 * s,
+                         (R[0, 1] + R[1, 0]) / s, (R[0, 2] + R[2, 0]) / s])
+    if i == 1:
+        s = np.sqrt(1.0 - R[0, 0] + R[1, 1] - R[2, 2]) * 2
+        return np.array([(R[0, 2] - R[2, 0]) / s, (R[0, 1] + R[1, 0]) / s,
+                         0.25 * s, (R[1, 2] + R[2, 1]) / s])
+    s = np.sqrt(1.0 - R[0, 0] - R[1, 1] + R[2, 2]) * 2
+    return np.array([(R[1, 0] - R[0, 1]) / s, (R[0, 2] + R[2, 0]) / s,
+                     (R[1, 2] + R[2, 1]) / s, 0.25 * s])

@@ -1,0 +1,73 @@
+"""End-to-end SLAM on a synthetic corridor sequence.
+
+The contract mirrors the reference's data-driven validation (SURVEY.md §4):
+run monocular SLAM over a rendered sequence with known ground truth and check
+ATE after sim3 alignment.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from asdslam_tpu.config import SlamConfig
+from asdslam_tpu.io import synthetic
+from asdslam_tpu.models import patch_descriptor
+from asdslam_tpu.system import System
+from asdslam_tpu.utils import evaluate
+
+
+def small_config():
+    return SlamConfig(
+        n_features=600,
+        n_levels=4,
+        image_width=320,
+        image_height=240,
+        fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+        min_match_count=60,
+        local_ba_max_points=2048,
+        local_ba_max_obs=8192,
+        max_keyframes=64,
+        max_map_points=16384,
+    )
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    cfg = small_config()
+    K = jnp.array([[cfg.fx, 0, cfg.cx], [0, cfg.fy, cfg.cy], [0, 0, 1.0]])
+    frames, poses = synthetic.render_sequence(
+        K, n_frames=30, height=cfg.image_height, width=cfg.image_width,
+        step=0.25, turn=0.004)
+    return cfg, frames, poses
+
+
+class TestSynthetic:
+    def test_renderer_has_texture(self, sequence):
+        cfg, frames, poses = sequence
+        img = np.asarray(frames[0])
+        assert img.std() > 0.05  # textured
+        assert img.min() >= 0.0 and img.max() <= 1.0
+
+    def test_full_slam_run(self, sequence):
+        cfg, frames, poses = sequence
+        sys = System(cfg, descriptor_fn=patch_descriptor.apply)
+        tracked = 0
+        for i in range(frames.shape[0]):
+            pose = sys.track_monocular(frames[i], i)
+            if pose is not None:
+                tracked += 1
+        stats = sys.stats()
+        assert stats["n_keyframes"] >= 2, stats
+        assert stats["n_map_points"] > 100, stats
+        assert tracked >= frames.shape[0] * 0.6, (tracked, stats)
+
+        # ATE vs ground truth (sim3, since monocular scale is free)
+        est = evaluate.camera_centers(sys.frame_trajectory())
+        gt = evaluate.camera_centers(
+            [(i, np.asarray(poses[i])) for i in range(frames.shape[0])])
+        e, g = evaluate.associate_by_id(est, gt)
+        assert len(e) >= 15
+        ate = evaluate.ate_rmse(e, g, align="sim3")
+        # trajectory is ~7.5 m long; sub-0.5 m ATE = tracking works
+        assert ate < 0.5, f"ATE {ate:.3f} m"
