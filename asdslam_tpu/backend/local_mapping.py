@@ -63,6 +63,13 @@ class LocalMapper:
         for m in np.unique(mps[mps >= 0]):
             store.compute_distinctive_descriptor(int(m))
             store.update_normal_and_depth(int(m), self.scale_factors)
+        # spanning-tree parent: strongest covisible earlier KF (the
+        # reference's ChangeParent on first UpdateConnections)
+        if store.kf_parent[kf] < 0 and kf > 0:
+            w = store.covisibility_weights(kf)
+            earlier = {k: c for k, c in w.items() if k < kf}
+            if earlier:
+                store.kf_parent[kf] = max(earlier, key=earlier.get)
 
     def _cull_map_points(self, kf: int):
         store = self.store
@@ -239,13 +246,18 @@ class LocalMapper:
                 if kf2 not in window_set and kf2 not in fixed:
                     fixed.append(int(kf2))
         fixed = fixed[:cfg.local_ba_max_fixed]
-        # gauge: always fix at least one camera
-        if not fixed:
-            if len(window) > 1:
-                fixed = [window[-1]]
-                window = window[:-1]
-            else:
-                return
+        # gauge: monocular BA needs >= 2 fixed cameras or scale collapses
+        # (one fixed camera pins translation/rotation but leaves the scale
+        # gauge free — observed as runaway map shrinkage).  The reference
+        # gets this implicitly from its unbounded local window + KF0 fixing
+        # (Optimizer.cc:462-476).
+        if 0 in window and 0 not in fixed:
+            window.remove(0)
+            fixed.append(0)
+        while len(fixed) < 2 and len(window) > 1:
+            fixed.append(window.pop())
+        if len(fixed) < 2 or not window:
+            return
         asm = _assemble_ba(store, window, fixed, cfg, self.inv_sigma2)
         if asm is None:
             return

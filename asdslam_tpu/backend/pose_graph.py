@@ -1,0 +1,113 @@
+"""Sim(3) pose-graph optimization (essential graph).
+
+Replaces Optimizer::OptimizeEssentialGraph (src/vslam/src/Optimizer.cc:
+737-1000, g2o BlockSolver_7_3): nodes are keyframe Sim3 poses S_iw, edges are
+spanning-tree / loop / strong-covisibility constraints with measurements
+S_ji = S_jw * S_iw^-1 captured at graph-build time.
+
+Residual per edge: e = log(S_meas_ji o S_jw_current^-1 ... ) — concretely
+e(i, j) = sim3_log(S_meas_ji o S_iw o S_jw^-1), zero iff the current relative
+pose matches the measurement.  Jacobians w.r.t. the left-multiplicative
+tangents of both endpoints come from jax.jacfwd (vmapped over edges) — the
+graph is small (thousands of nodes), so autodiff beats hand-deriving the
+Sim3 adjoint chain, and the dense [7K, 7K] Gauss-Newton system solves in one
+Cholesky on the MXU (K=2048 cap -> 14k x 14k, ~0.8 GB, well within HBM).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from asdslam_tpu.geometry import sim3
+
+
+class PoseGraphEdges(NamedTuple):
+    i: jnp.ndarray        # [E] int32
+    j: jnp.ndarray        # [E] int32
+    meas: jnp.ndarray     # [E, 8] packed sim3 measurement S_ji
+    weight: jnp.ndarray   # [E] scalar information weight
+    valid: jnp.ndarray    # [E] bool
+
+
+def edge_residual(Si, Sj, meas):
+    """e = log(meas_ji o S_i o S_j^-1) in R^7."""
+    si, Ri, ti = sim3.sim3_unpack(Si)
+    sj, Rj, tj = sim3.sim3_unpack(Sj)
+    sm, Rm, tm = sim3.sim3_unpack(meas)
+    sji, Rji, tji = sim3.compose(si, Ri, ti, *sim3.inverse(sj, Rj, tj))
+    se, Re, te = sim3.compose(sm, Rm, tm, sji, Rji, tji)
+    return sim3.sim3_log(se, Re, te)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def optimize_pose_graph(poses8, edges: PoseGraphEdges, fixed_mask,
+                        iters: int = 20, lam: float = 1e-6):
+    """GN/LM over packed sim3 poses [K, 8].  fixed_mask [K] bool.
+
+    Returns optimized poses8."""
+    K = poses8.shape[0]
+
+    def residuals_and_jac(poses8):
+        Si = poses8[edges.i]
+        Sj = poses8[edges.j]
+
+        def e_of(xi_i, xi_j, Si, Sj, meas):
+            return edge_residual(sim3.retract(Si, xi_i), sim3.retract(Sj, xi_j), meas)
+
+        z7 = jnp.zeros((edges.i.shape[0], 7))
+        e = jax.vmap(e_of)(z7, z7, Si, Sj, edges.meas)
+        Ji = jax.vmap(jax.jacfwd(e_of, argnums=0))(z7, z7, Si, Sj, edges.meas)
+        Jj = jax.vmap(jax.jacfwd(e_of, argnums=1))(z7, z7, Si, Sj, edges.meas)
+        return e, Ji, Jj
+
+    free = (~fixed_mask).astype(jnp.float32)
+
+    def step(carry, _):
+        poses8, lam_c, cost = carry
+        e, Ji, Jj = residuals_and_jac(poses8)
+        w = edges.weight * edges.valid.astype(e.dtype)
+        # assemble dense H [K*7, K*7], g [K*7]
+        Hii = jnp.einsum("eki,e,ekj->eij", Ji, w, Ji)
+        Hjj = jnp.einsum("eki,e,ekj->eij", Jj, w, Jj)
+        Hij = jnp.einsum("eki,e,ekj->eij", Ji, w, Jj)
+        gi = jnp.einsum("eki,e,ek->ei", Ji, w, e)
+        gj = jnp.einsum("eki,e,ek->ei", Jj, w, e)
+
+        Hb = jnp.zeros((K, K, 7, 7))
+        Hb = Hb.at[edges.i, edges.i].add(Hii, mode="drop")
+        Hb = Hb.at[edges.j, edges.j].add(Hjj, mode="drop")
+        Hb = Hb.at[edges.i, edges.j].add(Hij, mode="drop")
+        Hb = Hb.at[edges.j, edges.i].add(jnp.swapaxes(Hij, -1, -2), mode="drop")
+        g = jnp.zeros((K, 7)).at[edges.i].add(gi, mode="drop").at[edges.j].add(gj, mode="drop")
+
+        # gauge/fixed handling: zero rows+cols of fixed nodes, identity diag
+        Hb = Hb * free[:, None, None, None] * free[None, :, None, None]
+        g = g * free[:, None]
+        H = Hb.transpose(0, 2, 1, 3).reshape(K * 7, K * 7)
+        diag = jnp.clip(jnp.diagonal(H), 0.0)
+        H = H + jnp.diag(lam_c * jnp.maximum(diag, 1e-8) + 1e-8)
+        # fixed nodes: unit diagonal keeps the system nonsingular
+        fixed_diag = jnp.repeat(fixed_mask.astype(H.dtype), 7)
+        H = H + jnp.diag(fixed_diag)
+
+        dx = -jnp.linalg.solve(H, g.reshape(-1)).reshape(K, 7)
+        dx = dx * free[:, None]
+        cand = sim3.retract(poses8, dx)
+        e2, _, _ = residuals_and_jac(cand)
+        new_cost = jnp.sum(jnp.sum(e2 * e2, axis=1) * w)
+        accept = new_cost < cost
+        poses8 = jnp.where(accept, cand, poses8)
+        lam_c = jnp.where(accept, jnp.maximum(lam_c * 0.5, 1e-9), jnp.minimum(lam_c * 4.0, 1e4))
+        cost = jnp.where(accept, new_cost, cost)
+        return (poses8, lam_c, cost), None
+
+    e0, _, _ = residuals_and_jac(poses8)
+    w0 = edges.weight * edges.valid.astype(e0.dtype)
+    cost0 = jnp.sum(jnp.sum(e0 * e0, axis=1) * w0)
+    (poses8, _, _), _ = jax.lax.scan(step, (poses8, jnp.asarray(lam, poses8.dtype), cost0),
+                                     None, length=iters)
+    return poses8

@@ -111,6 +111,9 @@ class SlamConfig:
     # Loop closing (ref: LoopClosing.cc, KeyFrameDatabase.cc)
     # ------------------------------------------------------------------ #
     loop_min_kfs_between: int = 10    # skip if <10 KFs since last loop (LoopClosing.cc:144)
+    loop_exclude_recent_kfs: int = 15  # candidates must be >= this many KFs old
+    # (not in the reference, which relies on covisibility exclusion alone; a
+    # temporal guard is needed when descriptors are weak/untrained)
     loop_consistency_th: int = 3      # mnCovisibilityConsistencyTh (LoopClosing.cc:43)
     loop_bow_common_words: float = 0.6  # minCommonWords factor (KeyFrameDatabase.cc:129)
     loop_bow_group_retain: float = 0.55  # accScore retain factor (KeyFrameDatabase.cc:184)

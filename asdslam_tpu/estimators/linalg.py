@@ -58,45 +58,43 @@ def top_vector(M, iters: int = 50):
     return jax.lax.fori_loop(0, iters, body, x0)
 
 
-def eigh3(S, sweeps: int = 10):
-    """Eigendecomposition of batched symmetric 3x3 via cyclic Jacobi.
-
-    Returns (w, V): eigenvalues DESCENDING, V columns = eigenvectors.
-    Branch-free, vectorizes over any leading batch dims; ~machine precision
-    after a few sweeps — unlike power iteration it handles clustered spectra
-    (the Faugeras homography case) without convergence loss.
-    """
-    batch = S.shape[:-2]
+def jacobi_eigh(S, sweeps: int = 10):
+    """Eigendecomposition of batched symmetric n x n (n small, static) via
+    cyclic Jacobi.  Returns (w, V): eigenvalues DESCENDING, V columns =
+    eigenvectors.  Used for 3x3 (svd3) and 4x4 (Horn quaternion) problems."""
+    n = S.shape[-1]
     A = S
-    V = jnp.broadcast_to(jnp.eye(3, dtype=S.dtype), S.shape).copy()
+    V = jnp.broadcast_to(jnp.eye(n, dtype=S.dtype), S.shape).copy()
 
     def givens(A, V, p, q):
         app = A[..., p, p]
         aqq = A[..., q, q]
         apq = A[..., p, q]
-        # rotation angle zeroing A[p,q]
         theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
         c = jnp.cos(theta)
         s = jnp.sin(theta)
-        # build rotation as full matrix (batched)
-        R = jnp.broadcast_to(jnp.eye(3, dtype=S.dtype), A.shape).copy()
+        R = jnp.broadcast_to(jnp.eye(n, dtype=S.dtype), A.shape).copy()
         R = R.at[..., p, p].set(c)
         R = R.at[..., q, q].set(c)
         R = R.at[..., p, q].set(s)
         R = R.at[..., q, p].set(-s)
-        A2 = jnp.swapaxes(R, -1, -2) @ A @ R
-        V2 = V @ R
-        return A2, V2
+        return jnp.swapaxes(R, -1, -2) @ A @ R, V @ R
 
+    pairs = [(p, q) for p in range(n) for q in range(p + 1, n)]
     for _ in range(sweeps):
-        for (p, q) in ((0, 1), (0, 2), (1, 2)):
+        for (p, q) in pairs:
             A, V = givens(A, V, p, q)
 
-    w = jnp.stack([A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]], axis=-1)
+    w = jnp.diagonal(A, axis1=-2, axis2=-1)
     order = jnp.argsort(-w, axis=-1)
     w = jnp.take_along_axis(w, order, axis=-1)
     V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
     return w, V
+
+
+def eigh3(S, sweeps: int = 10):
+    """3x3 symmetric eigendecomposition (descending) — see jacobi_eigh."""
+    return jacobi_eigh(S, sweeps)
 
 
 def svd3(A, sweeps: int = 10):

@@ -59,11 +59,14 @@ def level_budgets(cfg: SlamConfig) -> List[int]:
     return budgets
 
 
-def make_extractor(cfg: SlamConfig, descriptor_fn):
+def make_extractor(cfg: SlamConfig, descriptor_fn, rotate_patches: bool = False):
     """Build a jitted extractor: image [H, W] float32 in [0,1] -> FrameFeatures.
 
     descriptor_fn: (patches [N, 32, 32]) -> [N, D] descriptors (e.g. a closure
     over asdnet.apply with params, or the ORB binary descriptor op).
+    rotate_patches: derotate patches by the keypoint angle before the
+    descriptor (ORB path; ASD patches stay upright like the reference's
+    computeSIFTDescriptors crop).
     """
     budgets = level_budgets(cfg)
     scales = cfg.scale_factors
@@ -86,7 +89,8 @@ def make_extractor(cfg: SlamConfig, descriptor_fn):
             ang = patches.ic_angle(img_l, xy, radius=cfg.orientation_radius)
             blurred = pyramid.gaussian_blur(img_l)
             pat = patches.extract_rotated_patches(
-                blurred, xy, jnp.zeros_like(ang), size=cfg.patch_size
+                blurred, xy, ang if rotate_patches else jnp.zeros_like(ang),
+                size=cfg.patch_size
             )
             all_uv.append(xy * scales[li])
             all_lvl.append(jnp.full((budgets[li],), li, jnp.int32))

@@ -38,7 +38,9 @@ LOST = 3
 
 
 class Tracker:
-    def __init__(self, cfg: SlamConfig, K, extractor, store: MapStore, local_mapper=None):
+    def __init__(self, cfg: SlamConfig, K, extractor, store: MapStore, local_mapper=None,
+                 localization_only: bool = False):
+        self.localization_only = localization_only
         self.cfg = cfg
         self.K = jnp.asarray(K, jnp.float32)
         self.extract = extractor
@@ -71,11 +73,19 @@ class Tracker:
         feat = self.extract(image)
         if self.state in (NO_IMAGES, NOT_INITIALIZED):
             self.state = NOT_INITIALIZED
-            self._try_initialize(feat, frame_id)
+            if self.localization_only and self.store.n_kf > 0:
+                # localization mode (Tracking::Loc): relocalize against the
+                # prior map instead of two-view bootstrapping
+                if self._relocalize(feat):
+                    self.state = OK
+                    self._save_frame(feat, frame_id, tracked=True)
+                    self.last_mp = self.cur_mp.copy()
+            else:
+                self._try_initialize(feat, frame_id)
         elif self.state == OK:
             self._track(feat, frame_id)
-        else:  # LOST: try to re-track against reference KF (simplified reloc)
-            ok = self._track_reference_kf(feat)
+        else:  # LOST: relocalize (Tracking::Relocalization, Tracking.cc:1095-1266)
+            ok = self._relocalize(feat) or self._track_reference_kf(feat)
             if ok:
                 self.state = OK
                 self._after_pose(feat, frame_id)
@@ -135,6 +145,7 @@ class Tracker:
         store = self.store
         kf0 = store.add_keyframe(pose1, self._init_frame_id, f0)
         kf1 = store.add_keyframe(pose2, frame_id, feat)
+        store.kf_parent[kf1] = kf0
 
         pts = np.asarray(res.points)
         desc2 = np.asarray(feat.desc)
@@ -217,7 +228,8 @@ class Tracker:
             Rv, tv = se3.compose(*Tc, *se3.inverse(*Tl))
             self.velocity = np.asarray(se3.pose_pack(Rv, tv))
         self._save_frame(feat, frame_id, tracked=True)
-        if self._need_new_kf(frame_id):
+        self.last_mp = self.cur_mp.copy()
+        if not self.localization_only and self._need_new_kf(frame_id):
             self._create_new_kf(feat, frame_id)
 
     def _save_frame(self, feat, frame_id, tracked: bool):
@@ -318,6 +330,63 @@ class Tracker:
         self.n_inliers = n_in
         return True
 
+    # ---- relocalization ------------------------------------------------ #
+    def _relocalize(self, feat) -> bool:
+        """BoW candidates -> PnP RANSAC -> pose optimization (reference:
+        KeyFrameDatabase::DetectRelocalizationCandidates + PnPsolver +
+        PoseOptimization with the 50-inlier acceptance, Tracking.cc:1239)."""
+        from asdslam_tpu.estimators import pnp as pnp_mod
+
+        cfg = self.cfg
+        store = self.store
+        lc = self.local_mapper.loop_closer if self.local_mapper else None
+        cands = []
+        if lc is not None and lc.vocab is not None and lc.db is not None:
+            from asdslam_tpu.loop import vocab as vocab_mod
+            words = vocab_mod.transform(lc.vocab, feat.desc, feat.valid)
+            qbow = vocab_mod.bow_vector(lc.vocab, words)
+            cands = lc.db.detect_reloc_candidates(
+                qbow, lambda k: store.covisible_kfs(
+                    int(k), min_weight=cfg.covis_weight_graph, max_n=10))
+        if not cands:
+            cands = list(range(store.n_kf - 1, max(-1, store.n_kf - 6), -1))
+
+        sigma2 = 1.0 / self.inv_sigma2
+        for c in cands[:5]:
+            kf_feat = store.kf_features[c]
+            kf_mp = store.kf_mp[c]
+            has_mp = kf_mp >= 0
+            idx, d, mok = match.search_global(
+                kf_feat.desc, feat.desc, jnp.asarray(has_mp) & kf_feat.valid,
+                feat.valid, max_dist=cfg.match_th_low * 2, ratio=0.75)
+            mok_np = np.asarray(mok)
+            if mok_np.sum() < 15:
+                continue
+            idx_np = np.asarray(idx)
+            # 3D-2D pairs indexed by the CURRENT frame's features
+            cur_mp = np.full(cfg.n_features, -1, np.int32)
+            cur_mp[idx_np[mok_np]] = kf_mp[mok_np]
+            has = cur_mp >= 0
+            mp_ids = np.where(has, cur_mp, 0)
+            valid = has & store.mp_valid[mp_ids]
+            if valid.sum() < 15:
+                continue
+            X = store.mp_pos[mp_ids]
+            chi2_px = cfg.reloc_ransac_th2 * sigma2[np.asarray(feat.level)]
+            res = pnp_mod.ransac_pnp(
+                jax.random.PRNGKey(int(store.n_kf) * 131 + int(c)),
+                jnp.asarray(X), feat.uv_und, jnp.asarray(valid), self.K,
+                jnp.asarray(chi2_px), iters=cfg.reloc_ransac_iters,
+                min_inliers=cfg.reloc_ransac_min_inliers)
+            if not bool(res.success):
+                continue
+            pose0 = np.asarray(se3.pose_pack(res.R, res.t))
+            if self._optimize_current(feat, cur_mp.copy(), pose0,
+                                      min(cfg.reloc_min_inliers, cfg.min_localmap_matches)):
+                self._prev_pose = None
+                return True
+        return False
+
     # ---- local map ---------------------------------------------------- #
     def _track_local_map(self, feat) -> bool:
         cfg = self.cfg
@@ -398,10 +467,15 @@ class Tracker:
         self.last_kf_frame_id = frame_id
         self.last_mp = self.cur_mp.copy()
         if self.local_mapper is not None:
+            lc = self.local_mapper.loop_closer
+            loops_before = lc.n_loops_closed if lc is not None else 0
             self.local_mapper.process(kf)
             # mapping may have adjusted poses: refresh
             self.last_pose = store.kf_pose[kf].copy()
             self.last_mp = store.kf_mp[kf].copy()
+            if lc is not None and lc.n_loops_closed > loops_before:
+                # loop correction moved the map: the motion model is stale
+                self.velocity = None
         # keep frame->mp binding fresh for the motion model
         self.cur_mp = self.last_mp.copy()
 

@@ -24,6 +24,8 @@ class Scene(NamedTuple):
     ceil_y: float = -3.0
     left_x: float = -6.0
     right_x: float = 6.0
+    back_z: float = -12.0
+    front_z: float = 40.0
     tex_scale: float = 0.4     # block size in metres
     seed: int = 7
 
@@ -73,7 +75,9 @@ def render_frame(pose7, K, height: int, width: int, scene: Scene = Scene()):
     t_ceil = plane_t(1, scene.ceil_y)
     t_left = plane_t(0, scene.left_x)
     t_right = plane_t(0, scene.right_x)
-    ts = jnp.stack([t_floor, t_ceil, t_left, t_right], axis=-1)
+    t_back = plane_t(2, scene.back_z)
+    t_front = plane_t(2, scene.front_z)
+    ts = jnp.stack([t_floor, t_ceil, t_left, t_right, t_back, t_front], axis=-1)
     which = jnp.argmin(ts, axis=-1)
     t_hit = jnp.min(ts, axis=-1)
     p = c + t_hit[..., None] * d
@@ -82,7 +86,9 @@ def render_frame(pose7, K, height: int, width: int, scene: Scene = Scene()):
     tex_ceil = _plane_texture(p[..., 0], p[..., 2], scene.tex_scale, 2)
     tex_left = _plane_texture(p[..., 1], p[..., 2], scene.tex_scale, 3)
     tex_right = _plane_texture(p[..., 1], p[..., 2], scene.tex_scale, 4)
-    tex = jnp.stack([tex_floor, tex_ceil, tex_left, tex_right], axis=-1)
+    tex_back = _plane_texture(p[..., 0], p[..., 1], scene.tex_scale, 5)
+    tex_front = _plane_texture(p[..., 0], p[..., 1], scene.tex_scale, 6)
+    tex = jnp.stack([tex_floor, tex_ceil, tex_left, tex_right, tex_back, tex_front], axis=-1)
     img = jnp.take_along_axis(tex, which[..., None], axis=-1)[..., 0]
     # mild distance shading for photometric variety
     img = img * (1.0 / (1.0 + 0.015 * t_hit))

@@ -1,0 +1,486 @@
+"""Loop closing: detection, Sim3 verification, loop correction, essential
+graph optimization, global BA.
+
+Mirrors src/vslam/src/LoopClosing.cc (DoLoopDetect: DetectLoop ->
+ComputeSim3 -> CorrectLoop), run synchronously after each keyframe like the
+reference:
+
+- DetectLoop (133-267): min-score gate from covisible BoW scores, database
+  candidates, 3-consecutive consistency groups (mnCovisibilityConsistencyTh=3)
+- ComputeSim3 (269-441): feature matching between mapped features, batched
+  RANSAC Horn Sim3 (Sim3Solver parity), GN refinement (OptimizeSim3 parity),
+  guided-projection support check (>= 40 total matches)
+- CorrectLoop (443-601): propagate corrected Sim3 through the covisible
+  group, remap its map points, fuse against the loop side, optimize the
+  essential graph (spanning tree + loop + strong covisibility edges), then
+  run global BA (RunGlobalBundleAdjustment, 660-765).
+
+The vocabulary is trained online from the first keyframes' descriptors when
+none is supplied (the reference ships an offline small_voc.yml.gz which is
+not reproducible here).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from asdslam_tpu.config import SlamConfig
+from asdslam_tpu.geometry import se3, sim3
+from asdslam_tpu.ops import match
+from asdslam_tpu.estimators import sim3_horn
+from asdslam_tpu.backend import pose_graph, global_ba, ba
+from asdslam_tpu.loop import vocab as vocab_mod
+from asdslam_tpu.loop.keyframe_db import KeyFrameDatabase
+from asdslam_tpu.mapping.map_store import MapStore, _pose_np
+
+
+class LoopCloser:
+    def __init__(self, cfg: SlamConfig, K, store: MapStore,
+                 vocabulary: Optional[vocab_mod.Vocabulary] = None,
+                 vocab_min_kfs: int = 5, run_global_ba: bool = True):
+        self.cfg = cfg
+        self.K = jnp.asarray(K, jnp.float32)
+        self.store = store
+        self.vocab = vocabulary
+        self.vocab_min_kfs = vocab_min_kfs
+        self.run_global_ba = run_global_ba
+        self.db: Optional[KeyFrameDatabase] = None
+        self.kf_bow: Dict[int, np.ndarray] = {}
+        self.pending: List[int] = []
+        self.prev_groups: List[tuple] = []   # (set_of_kfs, consecutive_count)
+        self.last_loop_kf = -10**9
+        self.n_loops_closed = 0
+        self.inv_sigma2 = np.asarray(cfg.inv_level_sigma2, np.float32)
+        self.scale_factors = np.asarray(cfg.scale_factors, np.float32)
+
+    # ------------------------------------------------------------------ #
+    def process(self, kf: int):
+        cfg = self.cfg
+        if self.vocab is None:
+            self.pending.append(kf)
+            if len(self.pending) >= self.vocab_min_kfs:
+                self._train_vocab()
+            return
+        self._add_kf_bow(kf)
+        if kf < self.last_loop_kf + cfg.loop_min_kfs_between or self.store.n_kf < 6:
+            self.db.add(kf, self.kf_bow[kf])
+            return
+        cands = self._detect_loop(kf)
+        self.db.add(kf, self.kf_bow[kf])
+        for cand in cands:
+            if self._compute_sim3_and_correct(kf, cand):
+                self.last_loop_kf = kf
+                self.n_loops_closed += 1
+                self.prev_groups = []
+                break
+
+    # ------------------------------------------------------------------ #
+    def _train_vocab(self):
+        descs = []
+        for kf in self.pending:
+            f = self.store.kf_features[kf]
+            d = np.asarray(f.desc)[np.asarray(f.valid)]
+            descs.append(d)
+        D = np.concatenate(descs, axis=0)
+        if len(D) < 1000:
+            return
+        self.vocab = vocab_mod.train_vocab(
+            jax.random.PRNGKey(11), jnp.asarray(D),
+            branching=self.cfg.vocab_branching, depth=self.cfg.vocab_depth)
+        self.db = KeyFrameDatabase(self.cfg, self.vocab.n_words, self.store.max_kfs)
+        for kf in self.pending:
+            self._add_kf_bow(kf)
+            self.db.add(kf, self.kf_bow[kf])
+        self.pending = []
+
+    def _add_kf_bow(self, kf: int):
+        if self.db is None:
+            self.db = KeyFrameDatabase(self.cfg, self.vocab.n_words, self.store.max_kfs)
+        f = self.store.kf_features[kf]
+        words = vocab_mod.transform(self.vocab, f.desc, f.valid)
+        self.kf_bow[kf] = vocab_mod.bow_vector(self.vocab, words)
+
+    # ------------------------------------------------------------------ #
+    def _detect_loop(self, kf: int) -> List[int]:
+        """Returns ALL consistency-passing candidates, best group first —
+        ComputeSim3 tries each (mvpEnoughConsistentCandidates semantics)."""
+        cfg = self.cfg
+        store = self.store
+        covis = store.covisible_kfs(kf, min_weight=cfg.covis_weight_graph)
+        if not covis:
+            return []
+        my_bow = self.kf_bow[kf]
+        min_score = min(
+            (vocab_mod.score_l1(my_bow, self.kf_bow[c]) for c in covis if c in self.kf_bow),
+            default=0.0)
+        recent = set(range(max(0, kf - cfg.loop_exclude_recent_kfs), kf + 1))
+        candidates = self.db.detect_loop_candidates(
+            kf, my_bow, set(covis) | recent, min_score,
+            lambda k: store.covisible_kfs(k, min_weight=cfg.covis_weight_graph, max_n=10))
+        if not candidates:
+            self.prev_groups = []
+            return []
+
+        # consistency groups (LoopClosing.cc:196-249)
+        new_groups = []
+        accepted = []
+        for c in candidates:
+            group = set(store.covisible_kfs(c, min_weight=cfg.covis_weight_graph, max_n=10)) | {c}
+            count = 0
+            for (pg, pc) in self.prev_groups:
+                if group & pg:
+                    count = max(count, pc + 1)
+            new_groups.append((group, count))
+            if count + 1 >= cfg.loop_consistency_th:
+                accepted.append(c)
+        self.prev_groups = new_groups
+        return accepted
+
+    # ------------------------------------------------------------------ #
+    def _compute_sim3_and_correct(self, kf: int, cand: int) -> bool:
+        cfg = self.cfg
+        store = self.store
+        f1 = store.kf_features[kf]
+        f2 = store.kf_features[cand]
+        mp1 = store.kf_mp[kf]
+        mp2 = store.kf_mp[cand]
+        v1 = jnp.asarray(mp1 >= 0) & f1.valid
+        v2 = jnp.asarray(mp2 >= 0) & f2.valid
+        idx, d, mok = match.search_global(
+            f1.desc, f2.desc, v1, v2,
+            max_dist=cfg.match_th_low * 2, ratio=cfg.match_nn_ratio_loop)
+        mok_np = np.asarray(mok)
+        idx_np = np.asarray(idx)
+        if mok_np.sum() < cfg.sim3_ransac_min_inliers:
+            return False
+
+        # matched map point 3D in each camera frame (fixed-shape arrays)
+        N = cfg.n_features
+        R1, t1 = _pose_np(store.kf_pose[kf])
+        R2, t2 = _pose_np(store.kf_pose[cand])
+        m1 = np.where(mok_np, mp1, 0)
+        m2 = np.where(mok_np, mp2[idx_np], 0)
+        valid = mok_np & store.mp_valid[m1] & store.mp_valid[m2]
+        P1 = store.mp_pos[m1] @ R1.T + t1
+        P2 = store.mp_pos[m2] @ R2.T + t2
+        uv1 = np.asarray(f1.uv_und)
+        uv2 = np.asarray(f2.uv_und)[idx_np]
+        lvl1 = np.asarray(f1.level)
+        lvl2 = np.asarray(f2.level)[idx_np]
+        th1 = 9.21 / self.inv_sigma2[lvl1]
+        th2 = 9.21 / self.inv_sigma2[lvl2]
+
+        res = sim3_horn.ransac_sim3(
+            jax.random.PRNGKey(kf), jnp.asarray(P1), jnp.asarray(P2),
+            jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(valid), self.K,
+            jnp.asarray(th1), jnp.asarray(th2),
+            iters=cfg.sim3_ransac_iters, min_inliers=cfg.sim3_ransac_min_inliers)
+        if not bool(res.success):
+            return False
+
+        s, R, t, inl = sim3_horn.refine_sim3(
+            res.s, res.R, res.t, jnp.asarray(P1), jnp.asarray(P2),
+            jnp.asarray(uv1), jnp.asarray(uv2), res.inliers, self.K,
+            jnp.asarray(self.inv_sigma2[lvl1]), jnp.asarray(self.inv_sigma2[lvl2]))
+        n_inl = int(np.asarray(inl).sum())
+        if n_inl < cfg.sim3_min_inliers:
+            return False
+
+        # guided projection support check: project the loop side's local map
+        # points into kf through the corrected pose; need >= 40 total matches
+        S_ck = (float(s), np.asarray(R), np.asarray(t))   # kf-cam -> cand-cam
+        loop_kfs = [cand] + store.covisible_kfs(cand, min_weight=cfg.covis_weight_graph, max_n=10)
+        loop_mps = store.local_map_points(loop_kfs)
+        n_proj = self._count_guided_matches(kf, cand, S_ck, loop_mps)
+        total = max(n_inl, n_proj)
+        if total < cfg.loop_min_total_matches:
+            return False
+
+        self._correct_loop(kf, cand, S_ck, loop_mps)
+        return True
+
+    def _count_guided_matches(self, kf: int, cand: int, S_ck, loop_mps) -> int:
+        """SearchByProjection of the loop side's points into kf through the
+        Sim3-corrected pose (LoopClosing::ComputeSim3 guided stage).
+
+        The corrected world->kf-cam chain bridges through the candidate's
+        camera (the frame the Sim3 was estimated in):
+            x_kf = S_ck^{-1}(x_cand),  x_cand = R2 X + t2
+        giving rotation R^T R2 and translation (R^T (t2 - t)) / s with the
+        1/s depth scale folded into the translation (projection is invariant
+        to a global scaling of camera coords)."""
+        cfg = self.cfg
+        store = self.store
+        if len(loop_mps) == 0:
+            return 0
+        s, R, t = S_ck
+        R2, t2 = _pose_np(store.kf_pose[cand])
+        tc = (R.T @ (t2 - t)) / s
+        pose_corr = np.concatenate([
+            np.asarray(se3.matrix_to_quat(jnp.asarray(R.T @ R2))),
+            tc.astype(np.float32)])
+        from asdslam_tpu.frontend import visibility
+        P = cfg.local_ba_max_points
+        mps = loop_mps[:P]
+        pad = P - len(mps)
+        mp_p = np.pad(mps, (0, pad), constant_values=0)
+        valid_a = np.pad(np.ones(len(mps), bool), (0, pad))
+        f1 = store.kf_features[kf]
+        uv, pred_level, view_cos, vis = visibility.project_points(
+            jnp.asarray(pose_corr), self.K,
+            jnp.asarray(store.mp_pos[mp_p]), jnp.asarray(store.mp_normal[mp_p]),
+            jnp.asarray(store.mp_min_dist[mp_p]), jnp.asarray(store.mp_max_dist[mp_p]),
+            jnp.asarray(valid_a), float(cfg.image_width), float(cfg.image_height),
+            cfg.scale_factor, cfg.n_levels, min_view_cos=-1.0)
+        radii = 10.0 * self.scale_factors[np.asarray(pred_level)]
+        idx, d, ok = match.search_projection(
+            jnp.asarray(store.mp_desc[mp_p]), f1.desc, uv, f1.uv_und,
+            vis, f1.valid, jnp.asarray(radii), cfg.match_th_high, ratio=1.0)
+        return int(np.asarray(ok).sum())
+
+    # ------------------------------------------------------------------ #
+    def _correct_loop(self, kf: int, cand: int, S_ck, loop_mps):
+        cfg = self.cfg
+        store = self.store
+        s, R, t = S_ck
+
+        # corrected sim3 pose of kf: S maps kf-cam -> cand-cam, the cand side
+        # is trusted, so S_kf_w_corr = S^{-1} o T_cand_w (analog of ORB-SLAM2's
+        # mScw = gScm * matchedKF pose, LoopClosing.cc CorrectLoop).
+        si, Ri, ti = 1.0 / s, R.T, -(R.T @ t) / s
+        R2, t2 = _pose_np(store.kf_pose[cand])
+        # compose sim3 (si, Ri, ti) o se3 (R2, t2):
+        s_corr = si
+        R_corr = Ri @ R2
+        t_corr = si * (Ri @ t2) + ti
+
+        # old pose of kf
+        Rk, tk = _pose_np(store.kf_pose[kf])
+
+        group = [kf] + store.covisible_kfs(kf, min_weight=cfg.covis_weight_graph)
+        corrected: Dict[int, tuple] = {}
+        non_corrected: Dict[int, tuple] = {}
+        for g in group:
+            Rg, tg = _pose_np(store.kf_pose[g])
+            non_corrected[g] = (1.0, Rg, tg)
+            # relative: T_g_kf = T_g_w o T_kf_w^-1
+            Rrel = Rg @ Rk.T
+            trel = tg - Rrel @ tk
+            # corrected: S_g_w = T_g_kf o S_kf_w_corr
+            sg = s_corr
+            Rg_c = Rrel @ R_corr
+            tg_c = Rrel @ t_corr + trel * 1.0  # trel scales by rel scale (=1)
+            corrected[g] = (sg, Rg_c, tg_c)
+
+        # correct map points of the group (through their observing KF pair)
+        done = set()
+        for g in group:
+            sg, Rg_c, tg_c = corrected[g]
+            _, Rg, tg = non_corrected[g]
+            mps = store.kf_mp[g]
+            mps = np.unique(mps[mps >= 0])
+            for m in mps:
+                if m in done or not store.mp_valid[m]:
+                    continue
+                done.add(m)
+                X = store.mp_pos[m]
+                xc = Rg @ X + tg                       # old camera coords
+                # X' = S_g_corr^{-1}(xc)
+                Xn = (Rg_c.T @ (xc - tg_c)) / sg
+                store.mp_pos[m] = Xn
+            # update pose (fold scale into translation)
+            pose = np.concatenate([
+                np.asarray(se3.matrix_to_quat(jnp.asarray(Rg_c))),
+                (tg_c / sg).astype(np.float32)])
+            store.set_kf_pose(g, pose)
+
+        # fuse loop map points into the corrected group
+        for g in group:
+            self._fuse_mps_into_kf(loop_mps, g)
+
+        # essential graph optimization
+        self._optimize_essential_graph(kf, cand, corrected, non_corrected)
+        store.loop_edges.append((kf, cand))
+
+        # global BA
+        if self.run_global_ba:
+            self._global_ba()
+
+        # refresh normals/descriptors
+        for m in done:
+            store.update_normal_and_depth(int(m), self.scale_factors)
+
+    def _fuse_mps_into_kf(self, mps, dst_kf: int):
+        cfg = self.cfg
+        store = self.store
+        from asdslam_tpu.frontend import visibility
+        mps = np.asarray([m for m in mps if store.mp_valid[m]], np.int32)
+        if len(mps) == 0:
+            return
+        P = cfg.local_ba_max_points
+        mps = mps[:P]
+        pad = P - len(mps)
+        mp_p = np.pad(mps, (0, pad), constant_values=0)
+        valid_a = np.pad(np.ones(len(mps), bool), (0, pad))
+        fd = store.kf_features[dst_kf]
+        uv, pred_level, view_cos, vis = visibility.project_points(
+            jnp.asarray(store.kf_pose[dst_kf]), self.K,
+            jnp.asarray(store.mp_pos[mp_p]), jnp.asarray(store.mp_normal[mp_p]),
+            jnp.asarray(store.mp_min_dist[mp_p]), jnp.asarray(store.mp_max_dist[mp_p]),
+            jnp.asarray(valid_a), float(cfg.image_width), float(cfg.image_height),
+            cfg.scale_factor, cfg.n_levels, min_view_cos=-1.0)
+        radii = cfg.fuse_radius * self.scale_factors[np.asarray(pred_level)]
+        idx, d, ok = match.search_projection(
+            jnp.asarray(store.mp_desc[mp_p]), fd.desc, uv, fd.uv_und,
+            vis, fd.valid, jnp.asarray(radii), cfg.match_th_high, ratio=1.0)
+        ok_np = np.asarray(ok)
+        idx_np = np.asarray(idx)
+        for a in np.nonzero(ok_np)[0]:
+            m = int(mp_p[a])
+            feat = int(idx_np[a])
+            existing = int(store.kf_mp[dst_kf, feat])
+            if existing >= 0 and existing != m and store.mp_valid[existing]:
+                # loop point wins (reference: SearchAndFuse replaces)
+                store.replace_map_point(existing, m)
+            elif existing < 0:
+                store.add_observation(m, dst_kf, feat)
+
+    # ------------------------------------------------------------------ #
+    def _optimize_essential_graph(self, kf, cand, corrected, non_corrected):
+        cfg = self.cfg
+        store = self.store
+        K = store.n_kf
+        poses8 = np.zeros((K, 8), np.float32)
+        for k in range(K):
+            Rk, tk = _pose_np(store.kf_pose[k])
+            poses8[k] = np.concatenate([
+                np.asarray(se3.matrix_to_quat(jnp.asarray(Rk))), tk, [0.0]])
+
+        edges_i, edges_j, metas, weights = [], [], [], []
+
+        def rel_sim3(a, b):
+            """measurement S_ba = S_b S_a^-1 from current stored poses."""
+            Ra, ta = _pose_np(store.kf_pose[a])
+            Rb, tb = _pose_np(store.kf_pose[b])
+            Rr = Rb @ Ra.T
+            tr = tb - Rr @ ta
+            return np.concatenate([
+                np.asarray(se3.matrix_to_quat(jnp.asarray(Rr))), tr, [0.0]])
+
+        seen = set()
+
+        def add_edge(a, b, w):
+            if a == b or (min(a, b), max(a, b)) in seen:
+                return
+            seen.add((min(a, b), max(a, b)))
+            edges_i.append(a)
+            edges_j.append(b)
+            metas.append(rel_sim3(a, b))
+            weights.append(w)
+
+        # spanning tree
+        for k in range(K):
+            p = store.kf_parent[k]
+            if p >= 0:
+                add_edge(int(p), k, 1.0)
+        # loop edges
+        for (a, b) in store.loop_edges:
+            add_edge(a, b, 5.0)
+        add_edge(kf, cand, 5.0)
+        # strong covisibility
+        for k in range(K):
+            for nb in store.covisible_kfs(k, min_weight=cfg.covis_weight_essential):
+                add_edge(k, int(nb), 1.0)
+
+        if not edges_i:
+            return
+        edges = pose_graph.PoseGraphEdges(
+            i=jnp.asarray(edges_i, jnp.int32),
+            j=jnp.asarray(edges_j, jnp.int32),
+            meas=jnp.asarray(np.stack(metas)),
+            weight=jnp.asarray(weights, jnp.float32),
+            valid=jnp.ones(len(edges_i), bool))
+        fixed = jnp.zeros(K, bool).at[cand].set(True)
+        opt = np.asarray(pose_graph.optimize_pose_graph(
+            jnp.asarray(poses8), edges, fixed, iters=15))
+
+        # write back: fold scale into SE3; correct map points via first-obs KF
+        pre = {k: _pose_np(store.kf_pose[k]) for k in range(K)}
+        pre_scale = {k: 1.0 for k in range(K)}
+        for k in range(K):
+            sk = float(np.exp(opt[k, 7]))
+            q = opt[k, :4]
+            Rk = np.asarray(se3.quat_to_matrix(jnp.asarray(q)))
+            tk = opt[k, 4:7] / sk
+            store.set_kf_pose(k, np.concatenate([q, tk]).astype(np.float32))
+            pre_scale[k] = sk
+
+        for m in range(store.n_mp):
+            if not store.mp_valid[m]:
+                continue
+            ref = int(store.mp_obs_kf[m, 0]) if store.mp_n_obs[m] > 0 else -1
+            if ref < 0:
+                continue
+            R_old, t_old = pre[ref]
+            xc = R_old @ store.mp_pos[m] + t_old
+            R_new, t_new = _pose_np(store.kf_pose[ref])
+            sk = pre_scale[ref]
+            store.mp_pos[m] = R_new.T @ (xc / sk - t_new)
+
+    # ------------------------------------------------------------------ #
+    def _global_ba(self):
+        cfg = self.cfg
+        store = self.store
+        K_kfs = store.n_kf
+        max_obs = min(cfg.local_ba_max_obs * 8, 262144)
+        mp_ids = np.nonzero(store.mp_valid[:store.n_mp])[0]
+        if len(mp_ids) == 0 or K_kfs < 3:
+            return
+        mp_slot = {int(m): i for i, m in enumerate(mp_ids)}
+        rows = []
+        for m in mp_ids:
+            n = int(store.mp_n_obs[m])
+            for i in range(n):
+                rows.append((int(m), int(store.mp_obs_kf[m, i]), int(store.mp_obs_feat[m, i])))
+                if len(rows) >= max_obs:
+                    break
+            if len(rows) >= max_obs:
+                break
+        O = len(rows)
+        O_pad = max_obs
+        cam_idx = np.zeros(O_pad, np.int32)
+        pt_idx = np.zeros(O_pad, np.int32)
+        uv = np.zeros((O_pad, 2), np.float32)
+        inv_s2 = np.ones(O_pad, np.float32)
+        valid = np.zeros(O_pad, bool)
+        for o, (m, k, feat) in enumerate(rows):
+            cam_idx[o] = k
+            pt_idx[o] = mp_slot[m]
+            f = store.kf_features[k]
+            uv[o] = np.asarray(f.uv_und[feat])
+            inv_s2[o] = self.inv_sigma2[int(np.asarray(f.level[feat]))]
+            valid[o] = True
+
+        # gauge: optimize all but the FIRST keyframe (moved to the end slot)
+        order = list(range(1, K_kfs)) + [0]
+        inv_order = np.argsort(order)
+        poses = store.kf_pose[np.asarray(order)]
+        cam_remap = np.asarray(inv_order, np.int32)
+        cam_idx = cam_remap[cam_idx]
+
+        P = len(mp_ids)
+        obs = ba.Obs(cam_idx=jnp.asarray(cam_idx), pt_idx=jnp.asarray(pt_idx),
+                     uv=jnp.asarray(uv), inv_sigma2=jnp.asarray(inv_s2),
+                     valid=jnp.asarray(valid))
+        poses_o, points_o, chi2 = global_ba.global_bundle_adjust(
+            jnp.asarray(poses), jnp.asarray(store.mp_pos[mp_ids]),
+            jnp.ones(P, bool), obs, self.K, n_opt=K_kfs - 1,
+            iters=cfg.loop_gba_iters, cg_iters=40)
+        poses_o = np.asarray(poses_o)
+        for i, k in enumerate(order):
+            store.set_kf_pose(k, poses_o[i])
+        store.mp_pos[mp_ids] = np.asarray(points_o)

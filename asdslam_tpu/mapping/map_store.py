@@ -38,6 +38,8 @@ class MapStore:
         self.kf_valid = np.zeros(max_kfs, bool)
         self.kf_mp = np.full((max_kfs, n_feat), -1, np.int32)
         self.kf_features: List[object] = []  # device FrameFeatures per KF
+        self.kf_parent = np.full(max_kfs, -1, np.int32)  # spanning tree
+        self.loop_edges: List[tuple] = []  # (kf_a, kf_b) accepted loop pairs
 
         # map points
         self.n_mp = 0

@@ -127,7 +127,7 @@ def apply(params, patches, train: bool = False, dropout_key=None,
         if train and i == len(LAYERS) - 2:
             keep = 0.7
             mask = jax.random.bernoulli(dropout_key, keep, x.shape)
-            x = jnp.where(mask, x / keep, 0.0)
+            x = jnp.where(mask, x / keep, jnp.zeros_like(x))
 
     d = x.reshape(x.shape[0], -1).astype(jnp.float32)
     d = d / jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True) + 1e-10)

@@ -24,27 +24,38 @@ from asdslam_tpu.models import asdnet
 
 class System:
     def __init__(self, cfg: SlamConfig, asdnet_params=None, do_loop_closing: bool = False,
-                 descriptor_fn=None):
+                 descriptor_fn=None, localization_mode: bool = False):
+        """localization_mode: track against a prior map (load_map) without
+        extending it — System(loop_for_loc)/TrackLocalization parity."""
+        self.localization_mode = localization_mode
         self.cfg = cfg
         self.K = jnp.array(
             [[cfg.fx, 0.0, cfg.cx], [0.0, cfg.fy, cfg.cy], [0.0, 0.0, 1.0]],
             jnp.float32)
 
+        rotate_patches = False
         if descriptor_fn is None:
-            if asdnet_params is None:
-                asdnet_params = asdnet.init_params(jax.random.PRNGKey(0))
-            self.asdnet_params = asdnet_params
-            descriptor_fn = lambda patches: asdnet.apply(asdnet_params, patches)
-        self.extract = extractor_mod.make_extractor(cfg, descriptor_fn)
+            if cfg.use_orb:
+                # --use_orb: classic binary descriptor (rotation-normalized)
+                from asdslam_tpu.ops import orb
+                descriptor_fn = orb.apply
+                rotate_patches = True
+            else:
+                if asdnet_params is None:
+                    asdnet_params = asdnet.init_params(jax.random.PRNGKey(0))
+                self.asdnet_params = asdnet_params
+                descriptor_fn = lambda patches: asdnet.apply(asdnet_params, patches)
+        self.extract = extractor_mod.make_extractor(cfg, descriptor_fn, rotate_patches)
 
         self.store = MapStore(cfg.max_keyframes, cfg.max_map_points,
                               cfg.n_features, cfg.max_obs_per_point)
         self.loop_closer = None
-        if do_loop_closing:
+        if do_loop_closing or localization_mode:
             from asdslam_tpu.loop.loop_closing import LoopCloser
             self.loop_closer = LoopCloser(cfg, self.K, self.store)
         self.local_mapper = LocalMapper(cfg, self.K, self.store, self.loop_closer)
-        self.tracker = Tracker(cfg, self.K, self.extract, self.store, self.local_mapper)
+        self.tracker = Tracker(cfg, self.K, self.extract, self.store,
+                               self.local_mapper, localization_only=localization_mode)
 
     def track_monocular(self, image, frame_id: int) -> Optional[np.ndarray]:
         """image: [H, W] float32 in [0, 1].  Returns pose7 T_cw or None."""
@@ -71,6 +82,25 @@ class System:
                 ts = frame_id if timestamps is None else timestamps[frame_id]
                 f.write("%f %f %f %f %f %f %f %f\n" % (
                     ts, twc[0], twc[1], twc[2], q[1], q[2], q[3], q[0]))
+
+    def save_map(self, path: str):
+        """Binary .map checkpoint (visual_map format parity — System.cc:437)."""
+        from asdslam_tpu.mapping import persistence
+        data = persistence.export_map(self.store, self.cfg,
+                                      self.cfg.covis_weight_posegraph)
+        persistence.save_visual_map(data, path)
+
+    def load_map(self, path: str):
+        """Load a .map into the (empty) store — System::LoadORBMap.  In
+        localization mode also builds the relocalization BoW database."""
+        from asdslam_tpu.mapping import persistence
+        data = persistence.load_visual_map(path)
+        persistence.import_map(data, self.store,
+                               np.asarray(self.cfg.scale_factors, np.float32))
+        if self.localization_mode and self.loop_closer is not None:
+            lc = self.loop_closer
+            lc.pending = list(range(self.store.n_kf))
+            lc._train_vocab()
 
     def stats(self):
         s = self.store
