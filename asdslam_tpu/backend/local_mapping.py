@@ -53,6 +53,7 @@ class LocalMapper:
         self._fuse_neighbors(kf)
         if store.n_kf > 2:
             self._local_ba(kf)
+        self._cull_keyframes(kf)
         if self.loop_closer is not None:
             self.loop_closer.process(kf)
 
@@ -227,6 +228,57 @@ class LocalMapper:
                     store.replace_map_point(existing, m)
             elif existing < 0:
                 store.add_observation(m, dst_kf, feat)
+
+    # ------------------------------------------------------------------ #
+    def _cull_keyframes(self, kf: int):
+        """KeyFrameCulling (LocalMapping.cc:739-816): a covisible KF is
+        redundant if >= 90% of its map points are seen by >= 3 other KFs at
+        the same or finer scale.  Culled KFs keep their id (masked invalid);
+        their observations are removed and the spanning tree reattached."""
+        cfg = self.cfg
+        store = self.store
+        for cand in store.covisible_kfs(kf, min_weight=cfg.covis_weight_graph):
+            cand = int(cand)
+            if cand <= 1 or not store.kf_valid[cand]:
+                continue  # never cull the two bootstrap KFs
+            mps = store.kf_mp[cand]
+            feats = np.nonzero(mps >= 0)[0]
+            if len(feats) < 20:
+                continue
+            lvl_cand = np.asarray(store.kf_features[cand].level)
+            n_redundant = 0
+            for f in feats:
+                m = mps[f]
+                if not store.mp_valid[m]:
+                    continue
+                lvl = lvl_cand[f]
+                n_obs_fine = 0
+                for i in range(int(store.mp_n_obs[m])):
+                    okf = int(store.mp_obs_kf[m, i])
+                    if okf == cand:
+                        continue
+                    ofeat = int(store.mp_obs_feat[m, i])
+                    if np.asarray(store.kf_features[okf].level[ofeat]) <= lvl + 1:
+                        n_obs_fine += 1
+                        if n_obs_fine >= 3:
+                            break
+                if n_obs_fine >= 3:
+                    n_redundant += 1
+            if n_redundant >= cfg.kf_cull_redundancy * len(feats):
+                self._erase_keyframe(cand)
+
+    def _erase_keyframe(self, kf: int):
+        store = self.store
+        mps = store.kf_mp[kf]
+        for f in np.nonzero(mps >= 0)[0]:
+            store.erase_observation(int(mps[f]), kf)
+        store.kf_valid[kf] = False
+        # reattach children in the spanning tree to this KF's parent
+        parent = store.kf_parent[kf]
+        for child in np.nonzero(store.kf_parent[:store.n_kf] == kf)[0]:
+            store.kf_parent[child] = parent
+        if self.loop_closer is not None and self.loop_closer.db is not None:
+            self.loop_closer.db.erase(kf)
 
     # ------------------------------------------------------------------ #
     def _local_ba(self, kf: int):
