@@ -88,10 +88,13 @@ def make_extractor(cfg: SlamConfig, descriptor_fn, rotate_patches: bool = False)
             )
             ang = patches.ic_angle(img_l, xy, radius=cfg.orientation_radius)
             blurred = pyramid.gaussian_blur(img_l)
-            pat = patches.extract_rotated_patches(
-                blurred, xy, ang if rotate_patches else jnp.zeros_like(ang),
-                size=cfg.patch_size
-            )
+            if rotate_patches:
+                pat = patches.extract_rotated_patches(
+                    blurred, xy, ang, size=cfg.patch_size)
+            else:
+                # upright path (ASD): contiguous dynamic-slice gather — much
+                # cheaper on TPU than the bilinear fancy-index gather
+                pat = patches.extract_patches(blurred, xy, size=cfg.patch_size)
             all_uv.append(xy * scales[li])
             all_lvl.append(jnp.full((budgets[li],), li, jnp.int32))
             all_ang.append(ang)

@@ -55,7 +55,14 @@ class VisualMapData:
         self.edge_v2 = np.zeros(0, np.int32)
 
 
-def save_visual_map(data: VisualMapData, path: str):
+def save_visual_map(data: VisualMapData, path: str, use_native: bool = True):
+    if use_native:
+        try:
+            from asdslam_tpu.native import loader as native
+            if native.map_save_native(path, data):
+                return
+        except Exception:
+            pass
     with open(path, "wb") as f:
         w = f.write
         w(struct.pack("<3d", *data.gps_anchor))
@@ -108,7 +115,15 @@ def save_visual_map(data: VisualMapData, path: str):
             w(struct.pack("<2i", int(data.edge_v1[i]), int(data.edge_v2[i])))
 
 
-def load_visual_map(path: str) -> VisualMapData:
+def load_visual_map(path: str, use_native: bool = True) -> VisualMapData:
+    if use_native:
+        try:
+            from asdslam_tpu.native import loader as native
+            d = native.map_load_native(path)
+            if d is not None:
+                return d
+        except Exception:
+            pass
     data = VisualMapData()
     with open(path, "rb") as f:
         def rd(fmt):

@@ -8,7 +8,7 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 LIB = os.path.join(HERE, "libasdslam_native.so")
-SOURCES = [os.path.join(HERE, "imageio.cc")]
+SOURCES = [os.path.join(HERE, s) for s in ("imageio.cc", "mapio.cc", "prefetch.cc")]
 
 
 def build(force: bool = False) -> str:
@@ -17,7 +17,7 @@ def build(force: bool = False) -> str:
         if os.path.getmtime(LIB) >= newest_src:
             return LIB
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", LIB] + SOURCES + ["-lz"]
+           "-o", LIB] + SOURCES + ["-lz", "-lpthread"]
     subprocess.run(cmd, check=True)
     return LIB
 
