@@ -5,10 +5,17 @@ The environment may pre-register a remote TPU backend (and force
 jax.config and clear any already-initialized backends.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from jax.extend.backend import clear_backends  # noqa: E402
 
