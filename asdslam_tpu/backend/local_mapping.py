@@ -21,12 +21,13 @@ from __future__ import annotations
 from typing import List, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from asdslam_tpu.config import SlamConfig
 from asdslam_tpu.geometry import se3, triangulation
 from asdslam_tpu.ops import match
-from asdslam_tpu.backend import ba
+from asdslam_tpu.backend import ba, mapping_kernels
 from asdslam_tpu.mapping.map_store import MapStore, _pose_np
 
 
@@ -92,6 +93,9 @@ class LocalMapper:
 
     # ------------------------------------------------------------------ #
     def _create_new_map_points(self, kf1: int):
+        """All neighbours evaluated in ONE batched program
+        (mapping_kernels.triangulate_neighbors); the host applies the
+        verdicts sequentially in neighbour order like the reference."""
         cfg = self.cfg
         store = self.store
         neighbors = store.covisible_kfs(kf1, min_weight=cfg.covis_weight_graph,
@@ -99,13 +103,13 @@ class LocalMapper:
         if not neighbors:
             return
         f1 = store.kf_features[kf1]
+        h1 = store.kf_host[kf1]
         R1, t1 = _pose_np(store.kf_pose[kf1])
         c1 = -R1.T @ t1
-        new_points = []
         K_np = np.asarray(self.K)
-        fmean = 0.5 * (K_np[0, 0] + K_np[1, 1])
+        fmean = 0.5 * float(K_np[0, 0] + K_np[1, 1])
 
-        # median scene depth for the baseline gate
+        # median scene depth for the baseline gate (host-side)
         mps1 = store.kf_mp[kf1]
         mps1 = mps1[mps1 >= 0]
         if len(mps1) == 0:
@@ -113,121 +117,131 @@ class LocalMapper:
         depths = (store.mp_pos[mps1] @ R1[2]) + t1[2]
         median_depth = float(np.median(depths[depths > 0])) if (depths > 0).any() else 1.0
 
-        free1 = store.kf_mp[kf1] < 0
+        keep = []
         for kf2 in neighbors:
             R2, t2 = _pose_np(store.kf_pose[kf2])
-            c2 = -R2.T @ t2
-            baseline = float(np.linalg.norm(c2 - c1))
-            if baseline / max(median_depth, 1e-6) < cfg.min_baseline_depth_ratio:
-                continue
-            f2 = store.kf_features[kf2]
-            free2 = store.kf_mp[kf2] < 0
-            F12 = match.fundamental_from_poses(
-                self.K, jnp.asarray(R1), jnp.asarray(t1), jnp.asarray(R2), jnp.asarray(t2))
-            inv_s2_2 = self.inv_sigma2[np.asarray(f2.level)]
-            idx, d, ok = match.search_triangulation(
-                f1.desc, f2.desc, f1.uv_und, f2.uv_und,
-                f1.valid & jnp.asarray(free1), f2.valid & jnp.asarray(free2),
-                F12, jnp.asarray(inv_s2_2),
-                max_dist=cfg.match_th_low * 2, ratio=0.9)
-            ok_np = np.asarray(ok)
-            if not ok_np.any():
-                continue
-            idx_np = np.asarray(idx)
+            baseline = float(np.linalg.norm((-R2.T @ t2) - c1))
+            if baseline / max(median_depth, 1e-6) >= cfg.min_baseline_depth_ratio:
+                keep.append(int(kf2))
+        if not keep:
+            return
 
-            # batched triangulation of candidate pairs
-            Kinv = np.linalg.inv(K_np)
-            uv1 = np.asarray(f1.uv_und)
-            uv2 = np.asarray(f2.uv_und)[idx_np]
-            xn1 = (np.concatenate([uv1, np.ones((len(uv1), 1))], 1) @ Kinv.T)[:, :2].astype(np.float32)
-            xn2 = (np.concatenate([uv2, np.ones((len(uv2), 1))], 1) @ Kinv.T)[:, :2].astype(np.float32)
-            N = len(xn1)
-            X = triangulation.triangulate_midpoint(
-                jnp.broadcast_to(jnp.asarray(R1), (N, 3, 3)), jnp.broadcast_to(jnp.asarray(t1), (N, 3)),
-                jnp.broadcast_to(jnp.asarray(R2), (N, 3, 3)), jnp.broadcast_to(jnp.asarray(t2), (N, 3)),
-                jnp.asarray(xn1), jnp.asarray(xn2))
-            e1, z1 = triangulation.reprojection_error2(jnp.asarray(R1), jnp.asarray(t1), X, jnp.asarray(xn1))
-            e2, z2 = triangulation.reprojection_error2(jnp.asarray(R2), jnp.asarray(t2), X, jnp.asarray(xn2))
-            cosp = triangulation.parallax_cos(jnp.asarray(c1), jnp.asarray(c2), X)
+        Q = cfg.triangulation_neighbors
+        keep = keep[:Q]
+        pad = Q - len(keep)
+        zero_feat = store.kf_features[keep[0]]
+        nb_desc = jnp.stack([store.kf_features[k].desc for k in keep]
+                            + [zero_feat.desc] * pad)
+        nb_uv = jnp.stack([store.kf_features[k].uv_und for k in keep]
+                          + [zero_feat.uv_und] * pad)
+        nb_level = jnp.stack([store.kf_features[k].level for k in keep]
+                             + [zero_feat.level] * pad)
+        nb_free = np.zeros((Q, store.n_feat), bool)
+        for qi, k in enumerate(keep):
+            nb_free[qi] = (store.kf_mp[k] < 0) & store.kf_host[k].valid
+        nb_R = np.zeros((Q, 3, 3), np.float32)
+        nb_t = np.zeros((Q, 3), np.float32)
+        nb_R[:] = np.eye(3)
+        for qi, k in enumerate(keep):
+            nb_R[qi], nb_t[qi] = _pose_np(store.kf_pose[k])
 
-            lvl1 = np.asarray(f1.level)
-            s2_1 = 1.0 / self.inv_sigma2[lvl1]
-            th1 = 5.991 * s2_1 / (fmean * fmean)
-            lvl2 = np.asarray(f2.level)[idx_np]
-            s2_2 = 1.0 / self.inv_sigma2[lvl2]
-            th2 = 5.991 * s2_2 / (fmean * fmean)
-            good = (ok_np & np.asarray(z1 > 0) & np.asarray(z2 > 0)
-                    & (np.asarray(e1) < th1) & (np.asarray(e2) < th2)
-                    & (np.asarray(cosp) < 0.9998))
-            X_np = np.asarray(X)
-            desc1 = np.asarray(f1.desc)
-            for i in np.nonzero(good)[0]:
-                if store.kf_mp[kf1, i] >= 0 or store.kf_mp[kf2, idx_np[i]] >= 0:
+        free1 = (store.kf_mp[kf1] < 0) & h1.valid
+        idx, good, X = mapping_kernels.triangulate_neighbors(
+            f1.desc, f1.uv_und, f1.level, jnp.asarray(free1),
+            nb_desc, nb_uv, nb_level, jnp.asarray(nb_free),
+            jnp.asarray(nb_R), jnp.asarray(nb_t),
+            jnp.asarray(R1), jnp.asarray(t1), self.K,
+            jnp.asarray(self.inv_sigma2),
+            max_dist=cfg.match_th_low * 2, ratio=0.9, fmean=fmean)
+        idx, good, X = jax.device_get((idx, good, X))  # single host sync
+
+        new_points = []
+        desc1 = h1.desc
+        for qi, kf2 in enumerate(keep):
+            for i in np.nonzero(good[qi])[0]:
+                j = int(idx[qi, i])
+                if store.kf_mp[kf1, i] >= 0 or store.kf_mp[kf2, j] >= 0:
                     continue
                 if store.n_mp >= store.max_pts:
                     break
-                m = store.add_map_point(X_np[i], desc1[i], kf1)
+                m = store.add_map_point(X[qi, i], desc1[i], kf1)
                 store.add_observation(m, kf1, int(i))
-                store.add_observation(m, int(kf2), int(idx_np[i]))
+                store.add_observation(m, kf2, j)
                 store.update_normal_and_depth(m, self.scale_factors)
                 new_points.append(m)
-                free1[i] = False
         self.note_new_points(new_points, kf1)
 
     # ------------------------------------------------------------------ #
     def _fuse_neighbors(self, kf: int):
-        """Two-way projection fuse (SearchInNeighbors).  Project this KF's
-        points into each neighbour; on a match, either merge duplicate points
-        or add the missing observation."""
+        """Two-way projection fuse (SearchInNeighbors): all (src, dst) pairs
+        evaluated in ONE batched program (mapping_kernels.fuse_pairs); the
+        host applies merge/add verdicts sequentially."""
         cfg = self.cfg
         store = self.store
         neighbors = store.covisible_kfs(kf, min_weight=cfg.covis_weight_graph, max_n=10)
-        for a, b in [(kf, n) for n in neighbors] + [(n, kf) for n in neighbors]:
-            self._fuse_into(a, b)
+        pairs = [(kf, n) for n in neighbors] + [(n, kf) for n in neighbors]
+        if pairs:
+            self._fuse_pairs(pairs)
         # refresh descriptors of this KF's points after fusion
         self._process_new_keyframe(kf)
 
-    def _fuse_into(self, src_kf: int, dst_kf: int):
+    def _fuse_pairs(self, pairs):
         cfg = self.cfg
         store = self.store
-        from asdslam_tpu.frontend import visibility
-
-        mps = store.kf_mp[src_kf]
-        mps = np.unique(mps[mps >= 0])
-        mps = mps[store.mp_valid[mps]]
-        if len(mps) == 0:
-            return
+        Q = 2 * 10  # fixed pair capacity (10 neighbours, both directions)
+        pairs = pairs[:Q]
         P = cfg.local_ba_max_points
-        mps = mps[:P]
-        pad = P - len(mps)
-        mp_p = np.pad(mps, (0, pad), constant_values=0)
-        valid_a = np.pad(np.ones(len(mps), bool), (0, pad))
-        fd = store.kf_features[dst_kf]
-        uv, pred_level, view_cos, vis = visibility.project_points(
-            jnp.asarray(store.kf_pose[dst_kf]), self.K,
-            jnp.asarray(store.mp_pos[mp_p]), jnp.asarray(store.mp_normal[mp_p]),
-            jnp.asarray(store.mp_min_dist[mp_p]), jnp.asarray(store.mp_max_dist[mp_p]),
-            jnp.asarray(valid_a), float(cfg.image_width), float(cfg.image_height),
-            cfg.scale_factor, cfg.n_levels)
-        radii = cfg.fuse_radius * self.scale_factors[np.asarray(pred_level)]
-        idx, d, ok = match.search_projection(
-            jnp.asarray(store.mp_desc[mp_p]), fd.desc, uv, fd.uv_und,
-            vis, fd.valid, jnp.asarray(radii), cfg.match_th_high, ratio=1.0,
-            pred_level_a=pred_level, levels_b=fd.level)
-        ok_np = np.asarray(ok)
-        idx_np = np.asarray(idx)
-        for a in np.nonzero(ok_np)[0]:
-            m = int(mp_p[a])
-            feat = int(idx_np[a])
-            existing = int(store.kf_mp[dst_kf, feat])
-            if existing >= 0 and existing != m and store.mp_valid[existing]:
-                # merge: keep the more-observed point
-                if store.mp_n_obs[existing] >= store.mp_n_obs[m]:
-                    store.replace_map_point(m, existing)
-                else:
-                    store.replace_map_point(existing, m)
-            elif existing < 0:
-                store.add_observation(m, dst_kf, feat)
+
+        mp_blocks = np.zeros((Q, P), np.int64)
+        mp_valid = np.zeros((Q, P), bool)
+        dst_pose = np.zeros((Q, 7), np.float32)
+        dst_pose[:, 0] = 1.0
+        for qi, (src_kf, dst_kf) in enumerate(pairs):
+            mps = store.kf_mp[src_kf]
+            mps = np.unique(mps[mps >= 0])
+            mps = mps[store.mp_valid[mps]][:P]
+            mp_blocks[qi, :len(mps)] = mps
+            mp_valid[qi, :len(mps)] = True
+            dst_pose[qi] = store.kf_pose[dst_kf]
+        pad_feat = store.kf_features[pairs[0][1]]
+        dst_feats = [store.kf_features[d] for _, d in pairs]
+        dst_feats += [pad_feat] * (Q - len(pairs))
+        for qi in range(len(pairs), Q):
+            mp_valid[qi] = False
+
+        idx, ok = mapping_kernels.fuse_pairs(
+            jnp.asarray(store.mp_pos[mp_blocks]),
+            jnp.asarray(store.mp_normal[mp_blocks]),
+            jnp.asarray(store.mp_min_dist[mp_blocks]),
+            jnp.asarray(store.mp_max_dist[mp_blocks]),
+            jnp.asarray(store.mp_desc[mp_blocks]),
+            jnp.asarray(mp_valid),
+            jnp.asarray(dst_pose),
+            jnp.stack([f.desc for f in dst_feats]),
+            jnp.stack([f.uv_und for f in dst_feats]),
+            jnp.stack([f.level for f in dst_feats]),
+            jnp.stack([f.valid for f in dst_feats]),
+            self.K, jnp.asarray(self.scale_factors),
+            width=float(cfg.image_width), height=float(cfg.image_height),
+            scale_factor=cfg.scale_factor, n_levels=cfg.n_levels,
+            fuse_radius=cfg.fuse_radius, max_dist=cfg.match_th_high)
+        idx, ok = jax.device_get((idx, ok))  # single host sync
+
+        for qi, (src_kf, dst_kf) in enumerate(pairs):
+            for a in np.nonzero(ok[qi])[0]:
+                m = int(mp_blocks[qi, a])
+                if not store.mp_valid[m]:
+                    continue  # merged away by an earlier pair
+                feat = int(idx[qi, a])
+                existing = int(store.kf_mp[dst_kf, feat])
+                if existing >= 0 and existing != m and store.mp_valid[existing]:
+                    # merge: keep the more-observed point
+                    if store.mp_n_obs[existing] >= store.mp_n_obs[m]:
+                        store.replace_map_point(m, existing)
+                    else:
+                        store.replace_map_point(existing, m)
+                elif existing < 0:
+                    store.add_observation(m, dst_kf, feat)
 
     # ------------------------------------------------------------------ #
     def _cull_keyframes(self, kf: int):
@@ -245,7 +259,7 @@ class LocalMapper:
             feats = np.nonzero(mps >= 0)[0]
             if len(feats) < 20:
                 continue
-            lvl_cand = np.asarray(store.kf_features[cand].level)
+            lvl_cand = store.kf_host[cand].level
             n_redundant = 0
             for f in feats:
                 m = mps[f]
@@ -258,7 +272,7 @@ class LocalMapper:
                     if okf == cand:
                         continue
                     ofeat = int(store.mp_obs_feat[m, i])
-                    if np.asarray(store.kf_features[okf].level[ofeat]) <= lvl + 1:
+                    if store.kf_host[okf].level[ofeat] <= lvl + 1:
                         n_obs_fine += 1
                         if n_obs_fine >= 3:
                             break

@@ -1,0 +1,175 @@
+"""Fused device-resident tracking step.
+
+The reference's per-frame hot path (src/vslam/src/Tracking.cc:213-383) is
+extract -> TrackWithMotionModel (664-723, with the <20-matches widened
+retry at 681-685) -> PoseOptimization -> TrackLocalMap (725-767) ->
+PoseOptimization.  Round-1 ran each stage as its own kernel with host
+synchronization in between (4-8 device round-trips per frame).  This module
+fuses the whole path into ONE jitted program per frame, per SURVEY.md §7
+("keep the whole frame step as one jitted program"):
+
+- inputs: the raw uint8 image, previous-frame state (pose, velocity,
+  features), the previous frame's map-point block (gathered on host from the
+  SoA store -- a pure numpy gather, no device sync), and a fixed-capacity
+  local-map candidate block;
+- all data-dependent control flow (the widened-radius retry) is a
+  `lax.cond`;
+- outputs: the new FrameFeatures (kept on device for the next frame) plus a
+  small result bundle (pose, velocity, per-feature match source codes,
+  counters) fetched with a single device->host transfer.
+
+Match bookkeeping across the host boundary uses "source codes": for current
+feature f, src[f] in [0, N) means "matched to previous-frame feature src[f]"
+(host resolves the map-point id via its last_mp binding), src[f] in
+[N, N + P) means "matched to local-map candidate row src[f] - N", and -1
+means unmatched.  The host never needs per-match device reads.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from asdslam_tpu.config import SlamConfig
+from asdslam_tpu.geometry import se3
+from asdslam_tpu.ops import match
+from asdslam_tpu.backend import ba
+from asdslam_tpu.frontend import visibility
+
+
+class GeomBlock(NamedTuple):
+    """Fixed-capacity block of map-point geometry gathered from the SoA store
+    (a pure numpy gather on the host; uploads are asynchronous)."""
+
+    pos: jnp.ndarray       # [P, 3]
+    normal: jnp.ndarray    # [P, 3]
+    min_dist: jnp.ndarray  # [P]
+    max_dist: jnp.ndarray  # [P]
+    valid: jnp.ndarray     # [P] bool
+
+
+class PointBlock(NamedTuple):
+    """GeomBlock + descriptors, for the local-map candidate stage (the motion
+    stage matches against the previous frame's on-device descriptors and
+    needs no map-point descriptors)."""
+
+    pos: jnp.ndarray       # [P, 3]
+    normal: jnp.ndarray    # [P, 3]
+    min_dist: jnp.ndarray  # [P]
+    max_dist: jnp.ndarray  # [P]
+    desc: jnp.ndarray      # [P, D]
+    valid: jnp.ndarray     # [P] bool
+
+
+class TrackResult(NamedTuple):
+    pose: jnp.ndarray       # [7] optimized T_cw
+    velocity: jnp.ndarray   # [7] T_cur * T_prev^-1
+    src: jnp.ndarray        # [N] int32 match source codes (inliers only)
+    n_motion: jnp.ndarray   # motion-model matches found (after retry)
+    n_track: jnp.ndarray    # pose-opt inliers after the motion stage
+    n_inliers: jnp.ndarray  # final inliers after the local-map stage
+
+
+def _scatter_codes(idx, ok, codes, n_out):
+    """out[idx[a]] = codes[a] for ok rows; -1 elsewhere (duplicates already
+    resolved by the matcher)."""
+    safe = jnp.where(ok, idx, n_out)
+    return jnp.full((n_out,), -1, jnp.int32).at[safe].set(
+        codes.astype(jnp.int32), mode="drop")
+
+
+def make_track_step(cfg: SlamConfig, K, extract_fn):
+    """Build the fused tracking step.
+
+    extract_fn: image [H, W] float32 -> FrameFeatures (possibly wrapped with
+    undistortion).  K: [3, 3] intrinsics.
+    """
+    K = jnp.asarray(K, jnp.float32)
+    scale_factors = jnp.asarray(cfg.scale_factors, jnp.float32)
+    inv_sigma2 = jnp.asarray(cfg.inv_level_sigma2, jnp.float32)
+    N = cfg.n_features
+
+    @jax.jit
+    def track_step(img, prev_pose7, velocity7, prev_feat,
+                   prev_pts: GeomBlock, cand_pts: PointBlock):
+        if jnp.issubdtype(img.dtype, jnp.integer):
+            img = img.astype(jnp.float32) * (1.0 / 255.0)
+        feat = extract_fn(img)
+
+        pred = se3.pose_retract(
+            prev_pose7, se3.se3_log(*se3.pose_unpack(velocity7)))
+
+        # ---- motion-model stage (TrackWithMotionModel) ------------------- #
+        uv_p, _, _, vis_p = visibility.project_points(
+            pred, K, prev_pts.pos, prev_pts.normal,
+            prev_pts.min_dist, prev_pts.max_dist, prev_pts.valid,
+            float(cfg.image_width), float(cfg.image_height),
+            cfg.scale_factor, cfg.n_levels, min_view_cos=-1.0)
+
+        lvl_radius = scale_factors[prev_feat.level]
+
+        def run_search(radius):
+            return match.search_projection(
+                prev_feat.desc, feat.desc, uv_p, feat.uv_und,
+                vis_p, feat.valid, radius * lvl_radius, cfg.match_th_high,
+                ratio=1.0, pred_level_a=prev_feat.level, levels_b=feat.level)
+
+        idx_n, d_n, ok_n = run_search(cfg.search_radius_motion)
+        n_narrow = jnp.sum(ok_n)
+
+        idx_m, d_m, ok_m = jax.lax.cond(
+            n_narrow >= cfg.min_motion_matches,
+            lambda: (idx_n, d_n, ok_n),
+            lambda: run_search(cfg.search_radius_motion_wide))
+        n_motion = jnp.sum(ok_m)
+
+        # per-feature bindings from the motion stage
+        src1 = _scatter_codes(idx_m, ok_m, jnp.arange(N), N)
+        safe1 = jnp.where(ok_m, idx_m, N)
+        pos_f = jnp.zeros((N, 3), jnp.float32).at[safe1].set(
+            prev_pts.pos, mode="drop")
+        has1 = src1 >= 0
+
+        inv_s2_f = inv_sigma2[feat.level]
+        pose1, inl1, n_track = ba.pose_only_optimize(
+            pred, pos_f, feat.uv_und, inv_s2_f, has1 & feat.valid, K,
+            rounds=cfg.pose_opt_rounds, iters=cfg.pose_opt_iters)
+        src1 = jnp.where(inl1, src1, -1)
+
+        # ---- local-map stage (TrackLocalMap) ----------------------------- #
+        uv_c, lvl_c, _, vis_c = visibility.project_points(
+            pose1, K, cand_pts.pos, cand_pts.normal,
+            cand_pts.min_dist, cand_pts.max_dist, cand_pts.valid,
+            float(cfg.image_width), float(cfg.image_height),
+            cfg.scale_factor, cfg.n_levels)
+        radii_c = 4.0 * scale_factors[lvl_c]
+        idx_c, d_c, ok_c = match.search_projection(
+            cand_pts.desc, feat.desc, uv_c, feat.uv_und,
+            vis_c, feat.valid, radii_c, cfg.match_th_high,
+            ratio=0.8, pred_level_a=lvl_c, levels_b=feat.level,
+            skip_b=src1 >= 0)
+
+        P = cand_pts.pos.shape[0]
+        src2 = _scatter_codes(idx_c, ok_c, N + jnp.arange(P), N)
+        safe2 = jnp.where(ok_c, idx_c, N)
+        pos_f = pos_f.at[safe2].set(cand_pts.pos, mode="drop")
+        src = jnp.where(src1 >= 0, src1, src2)
+
+        pose2, inl2, n_in = ba.pose_only_optimize(
+            pose1, pos_f, feat.uv_und, inv_s2_f, (src >= 0) & feat.valid, K,
+            rounds=cfg.pose_opt_rounds, iters=cfg.pose_opt_iters)
+        src = jnp.where(inl2, src, -1)
+
+        # velocity = T_cur * T_prev^-1 (Tracking.cc's mVelocity update)
+        Rv, tv = se3.compose(*se3.pose_unpack(pose2),
+                             *se3.inverse(*se3.pose_unpack(prev_pose7)))
+        vel = se3.pose_pack(Rv, tv)
+
+        res = TrackResult(pose=pose2, velocity=vel, src=src,
+                          n_motion=n_motion, n_track=n_track, n_inliers=n_in)
+        return feat, res
+
+    return track_step

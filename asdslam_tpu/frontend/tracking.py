@@ -29,6 +29,7 @@ from asdslam_tpu.ops import match
 from asdslam_tpu.backend import ba
 from asdslam_tpu.estimators import twoview
 from asdslam_tpu.frontend import visibility
+from asdslam_tpu.frontend import track_step as track_step_mod
 from asdslam_tpu.mapping.map_store import MapStore
 
 NO_IMAGES = 0
@@ -51,6 +52,8 @@ class Tracker:
         self.scale_factors = np.asarray(cfg.scale_factors, np.float32)
         self.inv_sigma2 = np.asarray(cfg.inv_level_sigma2, np.float32)
 
+        self._fused = None             # lazily-built fused track step
+
         # init buffers
         self._init_feat = None
         self._init_frame_id = None
@@ -70,7 +73,16 @@ class Tracker:
 
     # ------------------------------------------------------------------ #
     def process(self, image, frame_id: int) -> Optional[np.ndarray]:
-        feat = self.extract(image)
+        feat = None
+        if self._fused_eligible():
+            feat, ok = self._try_fused(image, frame_id)
+            if ok:
+                self.trajectory.append((frame_id, self.last_pose.copy()))
+                return self.last_pose
+            # fused step failed its gates: fall through to the staged path
+            # (reference-KF fallback / relocalization) with `feat` reused.
+        if feat is None:
+            feat = self.extract(image)
         if self.state in (NO_IMAGES, NOT_INITIALIZED):
             self.state = NOT_INITIALIZED
             if self.localization_only and self.store.n_kf > 0:
@@ -95,6 +107,121 @@ class Tracker:
             self.trajectory.append((frame_id, self.last_pose.copy()))
             return self.last_pose
         return None
+
+    # ------------------------------------------------------------------ #
+    # Fused device-resident fast path (track_step.py): extract + motion
+    # model + pose BA + local map + pose BA as ONE jitted program with a
+    # single device->host transfer per frame.
+    # ------------------------------------------------------------------ #
+    def _fused_eligible(self) -> bool:
+        return (self.state == OK and self.velocity is not None
+                and self.last_mp is not None
+                and int((self.last_mp >= 0).sum()) >= 10)
+
+    def _select_local_window(self, bound_mps: np.ndarray):
+        """Vectorized UpdateLocalKeyFrames (Tracking.cc:907-1015): rank KFs by
+        how many of the given map points they observe, extend with covisible
+        neighbours up to the 80-KF cap.  Returns (ref_kf, local_kfs list)."""
+        store = self.store
+        cfg = self.cfg
+        obs = store.mp_obs_kf[bound_mps]
+        flat = obs[obs >= 0]
+        if flat.size == 0:
+            return -1, []
+        kfs, counts = np.unique(flat, return_counts=True)
+        order = np.argsort(-counts)
+        local_kfs = [int(k) for k in kfs[order]]
+        ref_kf = local_kfs[0]
+        seen = set(local_kfs)
+        for kf in list(local_kfs):
+            if len(local_kfs) >= cfg.local_window_kfs:
+                break
+            for nb in store.covisible_kfs(kf, min_weight=cfg.covis_weight_graph,
+                                          max_n=10):
+                if nb not in seen and len(local_kfs) < cfg.local_window_kfs:
+                    seen.add(nb)
+                    local_kfs.append(int(nb))
+        return ref_kf, local_kfs
+
+    def _try_fused(self, image, frame_id: int):
+        """Returns (feat, ok).  On ok the tracker state is fully updated; on
+        failure nothing is mutated and the caller reuses `feat`."""
+        cfg = self.cfg
+        store = self.store
+        if self._fused is None:
+            self._fused = track_step_mod.make_track_step(cfg, self.K, self.extract)
+
+        last_mp = self.last_mp
+        has = last_mp >= 0
+        mp_ids = np.where(has, last_mp, 0)
+        prev_geom = track_step_mod.GeomBlock(
+            pos=jnp.asarray(store.mp_pos[mp_ids]),
+            normal=jnp.asarray(store.mp_normal[mp_ids]),
+            min_dist=jnp.asarray(store.mp_min_dist[mp_ids]),
+            max_dist=jnp.asarray(store.mp_max_dist[mp_ids]),
+            valid=jnp.asarray(has & store.mp_valid[mp_ids]))
+
+        # local-map candidates from last frame's bindings (one-frame lag on
+        # the window selection; the window itself changes at KF rate)
+        bound = last_mp[has & store.mp_valid[mp_ids]]
+        ref_kf, local_kfs = self._select_local_window(bound)
+        if ref_kf < 0:
+            return None, False
+        mp_all = store.local_map_points(local_kfs)
+        cand = np.setdiff1d(mp_all, bound, assume_unique=False)
+        P = cfg.local_ba_max_points
+        cand = cand[:P]
+        n_c = len(cand)
+        cand_p = np.pad(cand, (0, P - n_c), constant_values=0).astype(np.int64)
+        cand_valid = np.pad(np.ones(n_c, bool), (0, P - n_c))
+        cand_pts = track_step_mod.PointBlock(
+            pos=jnp.asarray(store.mp_pos[cand_p]),
+            normal=jnp.asarray(store.mp_normal[cand_p]),
+            min_dist=jnp.asarray(store.mp_min_dist[cand_p]),
+            max_dist=jnp.asarray(store.mp_max_dist[cand_p]),
+            desc=jnp.asarray(store.mp_desc[cand_p]),
+            valid=jnp.asarray(cand_valid & store.mp_valid[cand_p]))
+
+        feat, res = self._fused(
+            jnp.asarray(image), jnp.asarray(self.last_pose),
+            jnp.asarray(self.velocity), self.last_feat, prev_geom, cand_pts)
+        res = jax.device_get(res)  # the single host sync
+
+        n_motion = int(res.n_motion)
+        n_track = int(res.n_track)
+        n_in = int(res.n_inliers)
+        if (n_motion < cfg.min_motion_matches
+                or n_track < cfg.min_track_matches
+                or n_in < cfg.min_localmap_matches):
+            return feat, False
+
+        # decode match source codes -> map-point bindings
+        src = res.src
+        N = cfg.n_features
+        cur_mp = np.full(N, -1, np.int32)
+        m1 = (src >= 0) & (src < N)
+        cur_mp[m1] = last_mp[src[m1]]
+        m2 = src >= N
+        cur_mp[m2] = cand_p[src[m2] - N]
+
+        # bookkeeping (TrackLocalMap's IncreaseVisible/IncreaseFound)
+        if n_c:
+            store.mp_visible[cand] += 1
+        found = cur_mp[cur_mp >= 0]
+        store.mp_found[found] += 1
+        store.mp_visible[found] += 1
+
+        self.ref_kf = ref_kf
+        self._prev_pose = self.last_pose.copy()
+        self.last_pose = np.asarray(res.pose)
+        self.velocity = np.asarray(res.velocity)
+        self.cur_mp = cur_mp
+        self.n_inliers = n_in
+        self._save_frame(feat, frame_id, tracked=True)
+        self.last_mp = cur_mp.copy()
+        if not self.localization_only and self._need_new_kf(frame_id):
+            self._create_new_kf(feat, frame_id)
+        return feat, True
 
     # ------------------------------------------------------------------ #
     # Initialization
@@ -533,9 +660,9 @@ def _assemble_ba(store: MapStore, opt_kfs, fixed_kfs, cfg: SlamConfig, inv_sigma
     for o, (m, kf, feat) in enumerate(rows):
         cam_idx[o] = kf_slot[kf]
         pt_idx[o] = mp_slot[m]
-        ffeat = store.kf_features[kf]
-        uv[o] = np.asarray(ffeat.uv_und[feat])
-        inv_s2[o] = inv_sigma2_lut[int(np.asarray(ffeat.level[feat]))]
+        hfeat = store.kf_host[kf]
+        uv[o] = hfeat.uv_und[feat]
+        inv_s2[o] = inv_sigma2_lut[int(hfeat.level[feat])]
         valid[o] = True
 
     P = max_points

@@ -82,9 +82,8 @@ class LoopCloser:
     def _train_vocab(self):
         descs = []
         for kf in self.pending:
-            f = self.store.kf_features[kf]
-            d = np.asarray(f.desc)[np.asarray(f.valid)]
-            descs.append(d)
+            h = self.store.kf_host[kf]
+            descs.append(h.desc[h.valid])
         D = np.concatenate(descs, axis=0)
         if len(D) < 1000:
             return
@@ -167,10 +166,11 @@ class LoopCloser:
         valid = mok_np & store.mp_valid[m1] & store.mp_valid[m2]
         P1 = store.mp_pos[m1] @ R1.T + t1
         P2 = store.mp_pos[m2] @ R2.T + t2
-        uv1 = np.asarray(f1.uv_und)
-        uv2 = np.asarray(f2.uv_und)[idx_np]
-        lvl1 = np.asarray(f1.level)
-        lvl2 = np.asarray(f2.level)[idx_np]
+        h1, h2 = store.kf_host[kf], store.kf_host[cand]
+        uv1 = h1.uv_und
+        uv2 = h2.uv_und[idx_np]
+        lvl1 = h1.level
+        lvl2 = h2.level[idx_np]
         th1 = 9.21 / self.inv_sigma2[lvl1]
         th2 = 9.21 / self.inv_sigma2[lvl2]
 
@@ -460,9 +460,9 @@ class LoopCloser:
         for o, (m, k, feat) in enumerate(rows):
             cam_idx[o] = k
             pt_idx[o] = mp_slot[m]
-            f = store.kf_features[k]
-            uv[o] = np.asarray(f.uv_und[feat])
-            inv_s2[o] = self.inv_sigma2[int(np.asarray(f.level[feat]))]
+            h = store.kf_host[k]
+            uv[o] = h.uv_und[feat]
+            inv_s2[o] = self.inv_sigma2[int(h.level[feat])]
             valid[o] = True
 
         # gauge: optimize all but the FIRST keyframe (moved to the end slot)

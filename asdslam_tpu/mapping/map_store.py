@@ -18,9 +18,21 @@ Key relations:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, NamedTuple, Optional
 
 import numpy as np
+
+
+class HostFeat(NamedTuple):
+    """Host (numpy) mirror of a keyframe's FrameFeatures, fetched ONCE at
+    keyframe insertion.  All irregular bookkeeping (descriptor medians, BA
+    assembly, culling) reads these instead of indexing the device pytree —
+    per-element device reads are catastrophic over a remote-TPU link."""
+
+    uv_und: np.ndarray  # [N, 2]
+    level: np.ndarray   # [N]
+    desc: np.ndarray    # [N, D]
+    valid: np.ndarray   # [N]
 
 
 class MapStore:
@@ -38,6 +50,7 @@ class MapStore:
         self.kf_valid = np.zeros(max_kfs, bool)
         self.kf_mp = np.full((max_kfs, n_feat), -1, np.int32)
         self.kf_features: List[object] = []  # device FrameFeatures per KF
+        self.kf_host: List[HostFeat] = []    # host numpy mirrors (same index)
         self.kf_parent = np.full(max_kfs, -1, np.int32)  # spanning tree
         self.loop_edges: List[tuple] = []  # (kf_a, kf_b) accepted loop pairs
 
@@ -67,6 +80,11 @@ class MapStore:
         self.kf_frame_id[k] = frame_id
         self.kf_valid[k] = True
         self.kf_features.append(features)
+        self.kf_host.append(HostFeat(
+            uv_und=np.asarray(features.uv_und, np.float32),
+            level=np.asarray(features.level, np.int32),
+            desc=np.asarray(features.desc, np.float32),
+            valid=np.asarray(features.valid, bool)))
         self.n_kf += 1
         return k
 
@@ -203,12 +221,10 @@ class MapStore:
         n = int(self.mp_n_obs[mp])
         if n == 0:
             return
-        descs = []
-        for i in range(n):
-            kf = int(self.mp_obs_kf[mp, i])
-            feat = int(self.mp_obs_feat[mp, i])
-            descs.append(np.asarray(self.kf_features[kf].desc[feat]))
-        D = np.stack(descs)
+        kfs = self.mp_obs_kf[mp, :n]
+        feats = self.mp_obs_feat[mp, :n]
+        D = np.stack([self.kf_host[kf].desc[feat]
+                      for kf, feat in zip(kfs, feats)])
         d2 = ((D[:, None, :] - D[None, :, :]) ** 2).sum(-1)
         med = np.median(d2, axis=1)
         self.mp_desc[mp] = D[int(np.argmin(med))]
@@ -239,7 +255,7 @@ class MapStore:
         feat0 = int(self.mp_obs_feat[mp, 0])
         R, t = _pose_np(self.kf_pose[kf0])
         dist = np.linalg.norm(pos - (-R.T @ t))
-        level = int(np.asarray(self.kf_features[kf0].level[feat0]))
+        level = int(self.kf_host[kf0].level[feat0])
         sf = scale_factors[level]
         n_levels = len(scale_factors)
         self.mp_max_dist[mp] = dist * sf

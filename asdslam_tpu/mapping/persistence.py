@@ -217,11 +217,11 @@ def export_map(store: MapStore, cfg, min_posegraph_weight: int = 30) -> VisualMa
         Rwc = Rr.T
         twc = -Rwc @ tr
         q = _quat_from_R(Rwc)
-        f = store.kf_features[k]
-        valid = np.asarray(f.valid)
-        kps = np.asarray(f.uv_und).astype(np.float32)
-        octv = np.asarray(f.level).astype(np.int32)
-        desc = np.asarray(f.desc).astype(np.float32)
+        h = store.kf_host[k]
+        valid = h.valid
+        kps = h.uv_und.astype(np.float32)
+        octv = h.level.astype(np.int32)
+        desc = h.desc.astype(np.float32)
         obs = np.full(len(kps), -1, np.int32)
         for j in range(len(kps)):
             m = store.kf_mp[k, j]

@@ -47,17 +47,23 @@ DESC_DIM = 128
 
 
 def _orthogonal(key, shape, gain):
-    """Orthogonal init over the (fan_in, fan_out) flattening, like torch's."""
+    """Orthogonal init over the (fan_in, fan_out) flattening, like torch's.
+
+    Runs on the host (numpy): init is one-time, and QR on the accelerator
+    would cost a fresh XLA compilation per layer shape."""
+    import numpy as np
+
     fan_out = shape[-1]
     fan_in = 1
     for s in shape[:-1]:
         fan_in *= s
     n, m = max(fan_in, fan_out), min(fan_in, fan_out)
-    a = jax.random.normal(key, (n, m))
-    q, r = jnp.linalg.qr(a)  # q: (n, m), orthonormal columns
-    q = q * jnp.sign(jnp.diagonal(r))
+    seed = int(jax.random.key_data(key)[-1])
+    a = np.random.default_rng(seed).standard_normal((n, m))
+    q, r = np.linalg.qr(a)  # q: (n, m), orthonormal columns
+    q = q * np.sign(np.diagonal(r))
     w = q if fan_in >= fan_out else q.T
-    return (gain * w).reshape(shape)
+    return jnp.asarray((gain * w).reshape(shape), jnp.float32)
 
 
 def init_params(key) -> Dict[str, Any]:
