@@ -120,3 +120,22 @@ def bow_vector(vocab: Vocabulary, words, n_words=None) -> np.ndarray:
 def score_l1(v1: np.ndarray, v2: np.ndarray) -> float:
     """DBoW2 L1 score between L1-normalized vectors: in [0, 1]."""
     return float(1.0 - 0.5 * np.abs(v1 - v2).sum())
+
+
+def save_vocab(vocab: Vocabulary, path: str):
+    """Serialize to .npz — the TPU-native stand-in for the reference's
+    OpenCV-yml vocabulary file (TemplatedVocabulary.h:1347-1455)."""
+    arrays = {"level_%d" % i: np.asarray(l) for i, l in enumerate(vocab.levels)}
+    np.savez_compressed(
+        path, idf=np.asarray(vocab.idf),
+        branching=np.int32(vocab.branching), depth=np.int32(vocab.depth),
+        n_levels=np.int32(len(vocab.levels)), **arrays)
+
+
+def load_vocab(path: str) -> Vocabulary:
+    z = np.load(path)
+    n = int(z["n_levels"])
+    return Vocabulary(
+        levels=[jnp.asarray(z["level_%d" % i]) for i in range(n)],
+        idf=jnp.asarray(z["idf"]),
+        branching=int(z["branching"]), depth=int(z["depth"]))

@@ -180,6 +180,86 @@ def make_batch(key, batch_size: int, size: int = 32):
     return anchors, positives
 
 
+# --------------------------------------------------------------------------- #
+# UBC PhotoTour (the reference's training set, ASDNet.py:119-195) — raw
+# layout loader, used when the dataset is present locally (no network).
+# --------------------------------------------------------------------------- #
+def _load_bmp_gray(path: str) -> np.ndarray:
+    """Minimal 8-bit (grayscale-palette) BMP decoder for PhotoTour tiles."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP: %s" % path)
+    off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    if bpp != 8:
+        raise ValueError("PhotoTour BMPs are 8-bit, got %d bpp" % bpp)
+    stride = (w + 3) & ~3
+    rows = np.frombuffer(buf, np.uint8, stride * abs(h), off)
+    img = rows.reshape(abs(h), stride)[:, :w]
+    if h > 0:  # bottom-up storage
+        img = img[::-1]
+    return img.astype(np.float32) / 255.0
+
+
+def load_phototour(root: str, max_patches: int = None):
+    """Load a PhotoTour sequence dir (liberty/notredame/yosemite): patches
+    from the 16x16 grids of 64x64 in patches*.bmp, 3D-point ids from
+    info.txt.  Returns (patches [N, 64, 64] float32, ids [N] int64)."""
+    import glob
+    import os
+
+    ids = np.loadtxt(os.path.join(root, "info.txt"), dtype=np.int64,
+                     usecols=(0,))
+    n = len(ids) if max_patches is None else min(len(ids), max_patches)
+    out = np.zeros((n, 64, 64), np.float32)
+    i = 0
+    for bmp in sorted(glob.glob(os.path.join(root, "patches*.bmp"))):
+        if i >= n:
+            break
+        tile = _load_bmp_gray(bmp)
+        gh, gw = tile.shape[0] // 64, tile.shape[1] // 64
+        for r in range(gh):
+            for c in range(gw):
+                if i >= n:
+                    break
+                out[i] = tile[r * 64:(r + 1) * 64, c * 64:(c + 1) * 64]
+                i += 1
+    return out[:i], ids[:i]
+
+
+def read_phototour_pairs(root: str, name: str = "m50_100000_100000_0.txt"):
+    """The 100k eval pair list: returns (idx1 [M], idx2 [M], is_match [M]) —
+    the FPR@95 protocol of the reference (ASDNet.py:503-537)."""
+    import os
+
+    tbl = np.loadtxt(os.path.join(root, name), dtype=np.int64)
+    return tbl[:, 0], tbl[:, 3], tbl[:, 1] == tbl[:, 4]
+
+
+def phototour_batch(key, patches: np.ndarray, ids: np.ndarray,
+                    batch_size: int, size: int = 32):
+    """Sample matched (anchor, positive) pairs: two different patches of the
+    same 3D point, centre-cropped 64->size (TripletPhotoTour semantics)."""
+    uniq, first = np.unique(ids, return_index=True)
+    # precompute, per 3D point, the first two patch indices
+    order = np.argsort(ids, kind="stable")
+    sorted_ids = ids[order]
+    starts = np.searchsorted(sorted_ids, uniq)
+    counts = np.searchsorted(sorted_ids, uniq, side="right") - starts
+    multi = counts >= 2
+    pts = np.nonzero(multi)[0]
+    sel = np.asarray(jax.random.randint(key, (batch_size,), 0, len(pts)))
+    lo = (64 - size) // 2
+    a_idx = order[starts[pts[sel]]]
+    p_idx = order[starts[pts[sel]] + 1]
+    a = patches[a_idx][:, lo:lo + size, lo:lo + size]
+    p = patches[p_idx][:, lo:lo + size, lo:lo + size]
+    return jnp.asarray(a), jnp.asarray(p)
+
+
 def train_asdnet(key, n_steps: int = 200, batch_size: int = 256,
                  adaptive_until: int = None, base_lr: float = 0.5):
     """Small-scale training driver (synthetic pairs).  Returns params.

@@ -111,6 +111,44 @@ class System:
             "state": self.tracker.state,
         }
 
+    def save_result(self, out_dir: str, filenames=None):
+        """Plain-text map dump (track/desc/kps/posi/traj.txt) —
+        System::saveResult parity (System.cc:548-661)."""
+        from asdslam_tpu.io import results
+        results.save_result(self.store, out_dir, filenames)
+
+    def debug_info(self):
+        """Reprojection diagnostics of the last keyframe — getDebugImg
+        parity (System.cc:214-261) minus the cv::imshow overlay: projects
+        the KF's associated map points with its optimized pose and reports
+        the mean pixel reprojection error plus match/map counts.  Returns
+        (stats dict, projected uv [N, 2], observed uv [N, 2], mask [N])."""
+        s = self.store
+        kfs = [k for k in range(s.n_kf) if s.kf_valid[k]]
+        info = dict(self.stats(), mean_reproj_err=float("nan"), n_matches=0)
+        if not kfs:
+            return info, None, None, None
+        k = kfs[-1]
+        h = s.kf_host[k]
+        mp = s.kf_mp[k]
+        has = (mp >= 0) & s.mp_valid[np.where(mp >= 0, mp, 0)]
+        if not has.any():
+            return info, None, None, None
+        from asdslam_tpu.mapping.map_store import _pose_np
+        R, t = _pose_np(s.kf_pose[k])
+        X = s.mp_pos[np.where(has, mp, 0)]
+        xc = X @ R.T + t
+        z = np.where(np.abs(xc[:, 2]) < 1e-9, 1e-9, xc[:, 2])
+        K = np.asarray(self.K)
+        u = K[0, 0] * xc[:, 0] / z + K[0, 2]
+        v = K[1, 1] * xc[:, 1] / z + K[1, 2]
+        proj = np.stack([u, v], 1)
+        err = np.linalg.norm(proj - h.uv_und, axis=1)
+        ok = has & (xc[:, 2] > 0)
+        info["n_matches"] = int(ok.sum())
+        info["mean_reproj_err"] = float(err[ok].mean()) if ok.any() else float("nan")
+        return info, proj, h.uv_und, ok
+
 
 def _mat_to_quat_np(R):
     tr = np.trace(R)

@@ -43,6 +43,12 @@ def main():
     p.add_argument("--loop_closing", action="store_true", default=True)
     p.add_argument("--no_loop_closing", dest="loop_closing", action="store_false")
     p.add_argument("--asdnet_weights", default="")
+    p.add_argument("--voc_addr", default="",
+                   help="vocabulary .npz to load (--voc_addr parity)")
+    p.add_argument("--save_voc", default="",
+                   help="save the (online-trained) vocabulary here at the end")
+    p.add_argument("--save_result_dir", default="",
+                   help="dump track/desc/kps/posi/traj.txt (saveResult parity)")
     p.add_argument("--n_frames", type=int, default=150, help="synthetic only")
     args = p.parse_args()
 
@@ -95,6 +101,9 @@ def main():
     system = System(cfg, asdnet_params=asdnet_params,
                     do_loop_closing=args.loop_closing and not args.localization,
                     localization_mode=args.localization)
+    if args.voc_addr and system.loop_closer is not None:
+        from asdslam_tpu.loop import vocab as vocab_mod
+        system.loop_closer.vocab = vocab_mod.load_vocab(args.voc_addr)
     if args.map_addr:
         system.load_map(args.map_addr)
 
@@ -118,6 +127,12 @@ def main():
     system.save_trajectory_tum(args.output_addr, timestamps)
     if args.save_map:
         system.save_map(args.save_map)
+    if args.save_voc and system.loop_closer is not None \
+            and system.loop_closer.vocab is not None:
+        from asdslam_tpu.loop import vocab as vocab_mod
+        vocab_mod.save_vocab(system.loop_closer.vocab, args.save_voc)
+    if args.save_result_dir:
+        system.save_result(args.save_result_dir)
     s = system.stats()
     print(json.dumps({
         "frames": n, "tracked": tracked, "keyframes": s["n_keyframes"],
