@@ -62,9 +62,10 @@ class LocalMapper:
     def _process_new_keyframe(self, kf: int):
         store = self.store
         mps = store.kf_mp[kf]
-        for m in np.unique(mps[mps >= 0]):
+        uniq = np.unique(mps[mps >= 0])
+        for m in uniq:
             store.compute_distinctive_descriptor(int(m))
-            store.update_normal_and_depth(int(m), self.scale_factors)
+        store.update_normals_batch(uniq, self.scale_factors)
         # spanning-tree parent: strongest covisible earlier KF (the
         # reference's ChangeParent on first UpdateConnections)
         if store.kf_parent[kf] < 0 and kf > 0:
@@ -167,8 +168,9 @@ class LocalMapper:
                 m = store.add_map_point(X[qi, i], desc1[i], kf1)
                 store.add_observation(m, kf1, int(i))
                 store.add_observation(m, kf2, j)
-                store.update_normal_and_depth(m, self.scale_factors)
                 new_points.append(m)
+        store.update_normals_batch(np.array(new_points, np.int64),
+                                   self.scale_factors)
         self.note_new_points(new_points, kf1)
 
     # ------------------------------------------------------------------ #
@@ -259,25 +261,18 @@ class LocalMapper:
             feats = np.nonzero(mps >= 0)[0]
             if len(feats) < 20:
                 continue
-            lvl_cand = store.kf_host[cand].level
-            n_redundant = 0
-            for f in feats:
-                m = mps[f]
-                if not store.mp_valid[m]:
-                    continue
-                lvl = lvl_cand[f]
-                n_obs_fine = 0
-                for i in range(int(store.mp_n_obs[m])):
-                    okf = int(store.mp_obs_kf[m, i])
-                    if okf == cand:
-                        continue
-                    ofeat = int(store.mp_obs_feat[m, i])
-                    if store.kf_host[okf].level[ofeat] <= lvl + 1:
-                        n_obs_fine += 1
-                        if n_obs_fine >= 3:
-                            break
-                if n_obs_fine >= 3:
-                    n_redundant += 1
+            # vectorized redundancy count over this KF's points: an
+            # observation is "fine" if another KF sees the point at the same
+            # or finer (<= lvl+1) pyramid level
+            m = mps[feats]
+            live = store.mp_valid[m]
+            obs_kf = store.mp_obs_kf[m]                      # [F, O]
+            has = (obs_kf >= 0) & (obs_kf != cand) & live[:, None]
+            safe_kf = np.where(obs_kf >= 0, obs_kf, 0)
+            lvl_obs = store.kf_level_t[safe_kf, store.mp_obs_feat[m]]
+            lvl = store.kf_level_t[cand, feats]
+            fine = has & (lvl_obs <= lvl[:, None] + 1)
+            n_redundant = int((fine.sum(1) >= 3).sum())
             if n_redundant >= cfg.kf_cull_redundancy * len(feats):
                 self._erase_keyframe(cand)
 

@@ -297,10 +297,12 @@ class Tracker:
             return
         store.mp_pos[store.mp_valid, :] /= med
         for k in (kf0, kf1):
-            store.kf_pose[k][4:] /= med
+            p = store.kf_pose[k].copy()
+            p[4:] /= med
+            store.set_kf_pose(k, p)  # also refreshes the kf_center table
         for m in mps:
             store.compute_distinctive_descriptor(m)
-            store.update_normal_and_depth(m, self.scale_factors)
+        store.update_normals_batch(np.asarray(mps, np.int64), self.scale_factors)
 
         self.state = OK
         self.last_feat = feat

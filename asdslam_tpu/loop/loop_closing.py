@@ -311,8 +311,8 @@ class LoopCloser:
             self._global_ba()
 
         # refresh normals/descriptors
-        for m in done:
-            store.update_normal_and_depth(int(m), self.scale_factors)
+        store.update_normals_batch(
+            np.fromiter(done, np.int64, len(done)), self.scale_factors)
 
     def _fuse_mps_into_kf(self, mps, dst_kf: int):
         cfg = self.cfg

@@ -51,6 +51,9 @@ class MapStore:
         self.kf_mp = np.full((max_kfs, n_feat), -1, np.int32)
         self.kf_features: List[object] = []  # device FrameFeatures per KF
         self.kf_host: List[HostFeat] = []    # host numpy mirrors (same index)
+        # dense lookup tables for vectorized bookkeeping
+        self.kf_level_t = np.zeros((max_kfs, n_feat), np.int32)
+        self.kf_center = np.zeros((max_kfs, 3), np.float32)  # camera centres
         self.kf_parent = np.full(max_kfs, -1, np.int32)  # spanning tree
         self.loop_edges: List[tuple] = []  # (kf_a, kf_b) accepted loop pairs
 
@@ -85,11 +88,16 @@ class MapStore:
             level=np.asarray(features.level, np.int32),
             desc=np.asarray(features.desc, np.float32),
             valid=np.asarray(features.valid, bool)))
+        self.kf_level_t[k] = self.kf_host[k].level
+        R, t = _pose_np(self.kf_pose[k])
+        self.kf_center[k] = -R.T @ t
         self.n_kf += 1
         return k
 
     def set_kf_pose(self, k: int, pose7: np.ndarray):
         self.kf_pose[k] = np.asarray(pose7, np.float32)
+        R, t = _pose_np(self.kf_pose[k])
+        self.kf_center[k] = -R.T @ t
 
     # ------------------------------------------------------------------ #
     # Map points
@@ -232,34 +240,33 @@ class MapStore:
     def update_normal_and_depth(self, mp: int, scale_factors, level_of_obs=None):
         """MapPoint::UpdateNormalAndDepth: mean viewing direction + scale
         invariance distance range."""
-        n = int(self.mp_n_obs[mp])
-        if n == 0:
+        self.update_normals_batch(np.array([mp]), scale_factors)
+
+    def update_normals_batch(self, mps: np.ndarray, scale_factors):
+        """Vectorized UpdateNormalAndDepth over a block of map points, using
+        the kf_center / kf_level_t lookup tables (no per-observation loops)."""
+        mps = np.asarray(mps, np.int64)
+        mps = mps[self.mp_n_obs[mps] > 0]
+        if len(mps) == 0:
             return
-        from asdslam_tpu.geometry import se3 as se3m
-        import jax.numpy as jnp
-        pos = self.mp_pos[mp]
-        normals = []
-        for i in range(n):
-            kf = int(self.mp_obs_kf[mp, i])
-            R, t = _pose_np(self.kf_pose[kf])
-            c = -R.T @ t
-            v = pos - c
-            nv = np.linalg.norm(v)
-            if nv > 1e-9:
-                normals.append(v / nv)
-        if not normals:
-            return
-        self.mp_normal[mp] = np.mean(normals, axis=0)
+        obs_kf = self.mp_obs_kf[mps]                     # [M, O]
+        has = obs_kf >= 0
+        safe_kf = np.where(has, obs_kf, 0)
+        pos = self.mp_pos[mps]                           # [M, 3]
+        v = pos[:, None, :] - self.kf_center[safe_kf]    # [M, O, 3]
+        nv = np.linalg.norm(v, axis=2)
+        ok = has & (nv > 1e-9)
+        dirs = np.where(ok[:, :, None], v / np.maximum(nv, 1e-12)[:, :, None], 0.0)
+        cnt = np.maximum(ok.sum(1), 1)
+        self.mp_normal[mps] = dirs.sum(1) / cnt[:, None]
         # reference KF = first observation
-        kf0 = int(self.mp_obs_kf[mp, 0])
-        feat0 = int(self.mp_obs_feat[mp, 0])
-        R, t = _pose_np(self.kf_pose[kf0])
-        dist = np.linalg.norm(pos - (-R.T @ t))
-        level = int(self.kf_host[kf0].level[feat0])
-        sf = scale_factors[level]
-        n_levels = len(scale_factors)
-        self.mp_max_dist[mp] = dist * sf
-        self.mp_min_dist[mp] = self.mp_max_dist[mp] / scale_factors[n_levels - 1]
+        kf0 = obs_kf[:, 0]
+        feat0 = self.mp_obs_feat[mps, 0]
+        dist = np.linalg.norm(pos - self.kf_center[kf0], axis=1)
+        level = self.kf_level_t[kf0, feat0]
+        sf = np.asarray(scale_factors)
+        self.mp_max_dist[mps] = dist * sf[level]
+        self.mp_min_dist[mps] = self.mp_max_dist[mps] / sf[len(sf) - 1]
 
 
 def _pose_np(pose7: np.ndarray):

@@ -70,3 +70,49 @@ class TestDistributedBA:
         d = fn(patches)
         d_ref = asdnet.apply(params, patches)
         np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=2e-2)
+
+
+class TestMultiSequence:
+    def test_dp_track_step_runs(self):
+        """Concurrent multi-sequence tracking: fused track step vmapped over
+        a sequence batch sharded over the mesh (config 5)."""
+        import jax.numpy as jnp
+        from asdslam_tpu.config import SlamConfig
+        from asdslam_tpu.frontend import extractor as extractor_mod
+        from asdslam_tpu.frontend import track_step as ts
+        from asdslam_tpu.parallel import dist, multi_seq
+        from asdslam_tpu.geometry import se3
+        from asdslam_tpu.models import asdnet
+
+        mesh = dist.make_mesh(4)
+        cfg = SlamConfig(image_height=96, image_width=128, n_features=128,
+                         n_levels=2, fx=100.0, fy=100.0, cx=64.0, cy=48.0,
+                         local_ba_max_points=64)
+        params = asdnet.init_params(jax.random.PRNGKey(0))
+        extract = extractor_mod.make_extractor(
+            cfg, lambda p: asdnet.apply(params, p))
+        K = jnp.array([[cfg.fx, 0, cfg.cx], [0, cfg.fy, cfg.cy], [0, 0, 1.0]])
+        step = multi_seq.make_dp_track_step(cfg, K, extract, mesh)
+
+        B, N, P = 4, cfg.n_features, cfg.local_ba_max_points
+        imgs = jax.random.uniform(jax.random.PRNGKey(1),
+                                  (B, cfg.image_height, cfg.image_width))
+        ident = jnp.tile(se3.pose_identity()[None], (B, 1))
+        feat0 = jax.vmap(extract)(imgs)
+        kk = jax.random.split(jax.random.PRNGKey(2), 3)
+        geom = ts.GeomBlock(
+            pos=jax.random.uniform(kk[0], (B, N, 3), minval=-2, maxval=2)
+            + jnp.array([0.0, 0.0, 6.0]),
+            normal=jnp.tile(jnp.array([0.0, 0.0, -1.0]), (B, N, 1)),
+            min_dist=jnp.full((B, N), 0.5), max_dist=jnp.full((B, N), 50.0),
+            valid=jnp.ones((B, N), bool))
+        cand = ts.PointBlock(
+            pos=jax.random.uniform(kk[1], (B, P, 3), minval=-2, maxval=2)
+            + jnp.array([0.0, 0.0, 6.0]),
+            normal=jnp.tile(jnp.array([0.0, 0.0, -1.0]), (B, P, 1)),
+            min_dist=jnp.full((B, P), 0.5), max_dist=jnp.full((B, P), 50.0),
+            desc=jax.random.normal(kk[2], (B, P, 128)),
+            valid=jnp.ones((B, P), bool))
+        feats, res = step(imgs, ident, ident, feat0, geom, cand)
+        assert res.pose.shape == (B, 7)
+        assert np.isfinite(np.asarray(res.pose)).all()
