@@ -40,23 +40,32 @@ class LocalMapper:
         self.inv_sigma2 = np.asarray(cfg.inv_level_sigma2, np.float32)
         self.scale_factors = np.asarray(cfg.scale_factors, np.float32)
         self.recent: List[Tuple[int, int]] = []  # (mp, created_at_kf)
+        from asdslam_tpu.utils.tracing import Tracer
+        self.tracer = Tracer(enabled=False)  # System installs a live one
 
     def note_new_points(self, mps: List[int], kf: int):
         self.recent.extend((m, kf) for m in mps)
 
     # ------------------------------------------------------------------ #
     def process(self, kf: int):
-        cfg = self.cfg
         store = self.store
-        self._process_new_keyframe(kf)
-        self._cull_map_points(kf)
-        self._create_new_map_points(kf)
-        self._fuse_neighbors(kf)
-        if store.n_kf > 2:
-            self._local_ba(kf)
-        self._cull_keyframes(kf)
+        tr = self.tracer
+        with tr.span("mapping"):
+            with tr.span("process_kf"):
+                self._process_new_keyframe(kf)
+            self._cull_map_points(kf)
+            with tr.span("triangulate"):
+                self._create_new_map_points(kf)
+            with tr.span("fuse"):
+                self._fuse_neighbors(kf)
+            if store.n_kf > 2:
+                with tr.span("local_ba"):
+                    self._local_ba(kf)
+            with tr.span("cull_kfs"):
+                self._cull_keyframes(kf)
         if self.loop_closer is not None:
-            self.loop_closer.process(kf)
+            with tr.span("loop_closing"):
+                self.loop_closer.process(kf)
 
     # ------------------------------------------------------------------ #
     def _process_new_keyframe(self, kf: int):

@@ -53,6 +53,8 @@ class Tracker:
         self.inv_sigma2 = np.asarray(cfg.inv_level_sigma2, np.float32)
 
         self._fused = None             # lazily-built fused track step
+        from asdslam_tpu.utils.tracing import Tracer
+        self.tracer = Tracer(enabled=False)  # System installs a live one
 
         # init buffers
         self._init_feat = None
@@ -75,14 +77,16 @@ class Tracker:
     def process(self, image, frame_id: int) -> Optional[np.ndarray]:
         feat = None
         if self._fused_eligible():
-            feat, ok = self._try_fused(image, frame_id)
+            with self.tracer.span("fused_track"):
+                feat, ok = self._try_fused(image, frame_id)
             if ok:
                 self.trajectory.append((frame_id, self.last_pose.copy()))
                 return self.last_pose
             # fused step failed its gates: fall through to the staged path
             # (reference-KF fallback / relocalization) with `feat` reused.
         if feat is None:
-            feat = self.extract(image)
+            with self.tracer.span("extract"):
+                feat = self.extract(image)
         if self.state in (NO_IMAGES, NOT_INITIALIZED):
             self.state = NOT_INITIALIZED
             if self.localization_only and self.store.n_kf > 0:

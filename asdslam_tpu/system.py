@@ -56,10 +56,15 @@ class System:
         self.local_mapper = LocalMapper(cfg, self.K, self.store, self.loop_closer)
         self.tracker = Tracker(cfg, self.K, self.extract, self.store,
                                self.local_mapper, localization_only=localization_mode)
+        from asdslam_tpu.utils.tracing import Tracer
+        self.tracer = Tracer()
+        self.tracker.tracer = self.tracer
+        self.local_mapper.tracer = self.tracer
 
     def track_monocular(self, image, frame_id: int) -> Optional[np.ndarray]:
         """image: [H, W] float32 in [0, 1].  Returns pose7 T_cw or None."""
-        return self.tracker.process(jnp.asarray(image, jnp.float32), frame_id)
+        with self.tracer.span("frame"):
+            return self.tracker.process(jnp.asarray(image, jnp.float32), frame_id)
 
     # ------------------------------------------------------------------ #
     def keyframe_trajectory(self):

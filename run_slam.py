@@ -50,6 +50,8 @@ def main():
     p.add_argument("--save_result_dir", default="",
                    help="dump track/desc/kps/posi/traj.txt (saveResult parity)")
     p.add_argument("--n_frames", type=int, default=150, help="synthetic only")
+    p.add_argument("--profile", action="store_true",
+                   help="print per-stage wall-time spans at the end")
     args = p.parse_args()
 
     from asdslam_tpu.config import SlamConfig
@@ -133,6 +135,8 @@ def main():
         vocab_mod.save_vocab(system.loop_closer.vocab, args.save_voc)
     if args.save_result_dir:
         system.save_result(args.save_result_dir)
+    if args.profile:
+        print(system.tracer.report())
     s = system.stats()
     print(json.dumps({
         "frames": n, "tracked": tracked, "keyframes": s["n_keyframes"],

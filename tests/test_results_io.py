@@ -128,3 +128,27 @@ def test_phototour_loader(tmp_path):
 
     a, p = train_mod.phototour_batch(jax.random.PRNGKey(1), patches, ids, 8)
     assert a.shape == (8, 32, 32) and p.shape == (8, 32, 32)
+
+
+def test_tracer():
+    from asdslam_tpu.utils.tracing import Tracer
+    import time as _t
+
+    tr = Tracer()
+    with tr.span("a"):
+        with tr.span("b"):
+            _t.sleep(0.01)
+    with tr.span("a"):
+        pass
+    assert tr.spans["a"].count == 2
+    assert tr.spans["a/b"].count == 1
+    assert tr.spans["a"].total >= 0.01
+    rep = tr.report()
+    assert "a/b" in rep
+    d = tr.as_dict()
+    assert d["a"]["count"] == 2
+    # disabled tracer records nothing
+    off = Tracer(enabled=False)
+    with off.span("x"):
+        pass
+    assert not off.spans
