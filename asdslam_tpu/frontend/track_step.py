@@ -71,6 +71,9 @@ class TrackResult(NamedTuple):
     n_motion: jnp.ndarray   # motion-model matches found (after retry)
     n_track: jnp.ndarray    # pose-opt inliers after the motion stage
     n_inliers: jnp.ndarray  # final inliers after the local-map stage
+    next_geom: GeomBlock    # per-feature matched map-point geometry — the
+    #                         NEXT frame's prev_pts, kept on device so the
+    #                         host uploads nothing per frame
 
 
 def _scatter_codes(idx, ok, codes, n_out):
@@ -94,7 +97,11 @@ def make_track_step(cfg: SlamConfig, K, extract_fn):
 
     @jax.jit
     def track_step(img, prev_pose7, velocity7, prev_feat,
-                   prev_pts: GeomBlock, cand_pts: PointBlock):
+                   prev_pts: GeomBlock, cand_pts: PointBlock,
+                   cand_bound=None):
+        """cand_bound: optional [P] bool marking candidate rows already bound
+        to a feature (stale device-resident candidate blocks are refreshed
+        only at keyframe rate; this tiny mask keeps them exact per frame)."""
         if jnp.issubdtype(img.dtype, jnp.integer):
             img = img.astype(jnp.float32) * (1.0 / 255.0)
         feat = extract_fn(img)
@@ -140,9 +147,12 @@ def make_track_step(cfg: SlamConfig, K, extract_fn):
         src1 = jnp.where(inl1, src1, -1)
 
         # ---- local-map stage (TrackLocalMap) ----------------------------- #
+        cand_valid = cand_pts.valid
+        if cand_bound is not None:
+            cand_valid = cand_valid & ~cand_bound
         uv_c, lvl_c, _, vis_c = visibility.project_points(
             pose1, K, cand_pts.pos, cand_pts.normal,
-            cand_pts.min_dist, cand_pts.max_dist, cand_pts.valid,
+            cand_pts.min_dist, cand_pts.max_dist, cand_valid,
             float(cfg.image_width), float(cfg.image_height),
             cfg.scale_factor, cfg.n_levels)
         radii_c = 4.0 * scale_factors[lvl_c]
@@ -168,8 +178,29 @@ def make_track_step(cfg: SlamConfig, K, extract_fn):
                              *se3.inverse(*se3.pose_unpack(prev_pose7)))
         vel = se3.pose_pack(Rv, tv)
 
+        # next frame's prev_pts, assembled ON DEVICE by gathering matched
+        # map-point geometry through the src codes — the host never uploads
+        # per-frame geometry blocks (critical when host->device bandwidth is
+        # the bottleneck)
+        P = cand_pts.pos.shape[0]
+        sel_cand = src >= N
+
+        def gather_field(prev_f, cand_f):
+            from_prev = prev_f[jnp.clip(src, 0, N - 1)]
+            from_cand = cand_f[jnp.clip(src - N, 0, P - 1)]
+            m = sel_cand.reshape((-1,) + (1,) * (from_prev.ndim - 1))
+            return jnp.where(m, from_cand, from_prev)
+
+        next_geom = GeomBlock(
+            pos=gather_field(prev_pts.pos, cand_pts.pos),
+            normal=gather_field(prev_pts.normal, cand_pts.normal),
+            min_dist=gather_field(prev_pts.min_dist, cand_pts.min_dist),
+            max_dist=gather_field(prev_pts.max_dist, cand_pts.max_dist),
+            valid=src >= 0)
+
         res = TrackResult(pose=pose2, velocity=vel, src=src,
-                          n_motion=n_motion, n_track=n_track, n_inliers=n_in)
+                          n_motion=n_motion, n_track=n_track, n_inliers=n_in,
+                          next_geom=next_geom)
         return feat, res
 
     return track_step

@@ -53,6 +53,10 @@ class Tracker:
         self.inv_sigma2 = np.asarray(cfg.inv_level_sigma2, np.float32)
 
         self._fused = None             # lazily-built fused track step
+        # device-resident fused-path state (avoids per-frame host uploads)
+        self._device_geom = None       # GeomBlock for the next frame
+        self._device_cand = None       # PointBlock, refreshed at KF rate
+        self._cand_ids = None          # np [P] map-point id per cand row
         from asdslam_tpu.utils.tracing import Tracer
         self.tracer = Tracer(enabled=False)  # System installs a live one
 
@@ -84,8 +88,12 @@ class Tracker:
                 return self.last_pose
             # fused step failed its gates: fall through to the staged path
             # (reference-KF fallback / relocalization) with `feat` reused.
+        self._invalidate_device_state()  # staged path mutates host-side map
         if feat is None:
             with self.tracer.span("extract"):
+                if hasattr(image, "dtype") and jnp.issubdtype(
+                        jnp.asarray(image).dtype, jnp.integer):
+                    image = jnp.asarray(image).astype(jnp.float32) / 255.0
                 feat = self.extract(image)
         if self.state in (NO_IMAGES, NOT_INITIALIZED):
             self.state = NOT_INITIALIZED
@@ -147,9 +155,61 @@ class Tracker:
                     local_kfs.append(int(nb))
         return ref_kf, local_kfs
 
+    def _invalidate_device_state(self):
+        """Drop device-resident fused-path caches — call whenever the host
+        map changes under them (KF insertion/mapping/loop closure, staged
+        tracking, reset)."""
+        self._device_geom = None
+        self._device_cand = None
+        self._cand_ids = None
+
+    def _build_prev_geom(self):
+        store = self.store
+        last_mp = self.last_mp
+        has = last_mp >= 0
+        mp_ids = np.where(has, last_mp, 0)
+        return track_step_mod.GeomBlock(
+            pos=jnp.asarray(store.mp_pos[mp_ids]),
+            normal=jnp.asarray(store.mp_normal[mp_ids]),
+            min_dist=jnp.asarray(store.mp_min_dist[mp_ids]),
+            max_dist=jnp.asarray(store.mp_max_dist[mp_ids]),
+            valid=jnp.asarray(has & store.mp_valid[mp_ids]))
+
+    def _build_cand_block(self, bound):
+        """Candidate PointBlock from the local covisibility window, uploaded
+        once and reused until the map changes (KF rate)."""
+        cfg = self.cfg
+        store = self.store
+        ref_kf, local_kfs = self._select_local_window(bound)
+        if ref_kf < 0:
+            return False
+        mp_all = store.local_map_points(local_kfs)
+        cand = np.setdiff1d(mp_all, bound, assume_unique=False)
+        P = cfg.local_ba_max_points
+        cand = cand[:P]
+        n_c = len(cand)
+        cand_p = np.pad(cand, (0, P - n_c), constant_values=-1).astype(np.int64)
+        safe = np.where(cand_p >= 0, cand_p, 0)
+        cand_valid = np.pad(np.ones(n_c, bool), (0, P - n_c))
+        self._device_cand = track_step_mod.PointBlock(
+            pos=jnp.asarray(store.mp_pos[safe]),
+            normal=jnp.asarray(store.mp_normal[safe]),
+            min_dist=jnp.asarray(store.mp_min_dist[safe]),
+            max_dist=jnp.asarray(store.mp_max_dist[safe]),
+            desc=jnp.asarray(store.mp_desc[safe]),
+            valid=jnp.asarray(cand_valid & store.mp_valid[safe]))
+        self._cand_ids = cand_p
+        self.ref_kf = ref_kf
+        return True
+
     def _try_fused(self, image, frame_id: int):
         """Returns (feat, ok).  On ok the tracker state is fully updated; on
-        failure nothing is mutated and the caller reuses `feat`."""
+        failure nothing is mutated and the caller reuses `feat`.
+
+        Host->device traffic per frame is the image plus a [P]-byte bound
+        mask: previous-frame geometry comes back from the previous fused
+        call (TrackResult.next_geom) and the candidate block is cached on
+        device between keyframes."""
         cfg = self.cfg
         store = self.store
         if self._fused is None:
@@ -157,68 +217,47 @@ class Tracker:
 
         last_mp = self.last_mp
         has = last_mp >= 0
-        mp_ids = np.where(has, last_mp, 0)
-        prev_geom = track_step_mod.GeomBlock(
-            pos=jnp.asarray(store.mp_pos[mp_ids]),
-            normal=jnp.asarray(store.mp_normal[mp_ids]),
-            min_dist=jnp.asarray(store.mp_min_dist[mp_ids]),
-            max_dist=jnp.asarray(store.mp_max_dist[mp_ids]),
-            valid=jnp.asarray(has & store.mp_valid[mp_ids]))
-
-        # local-map candidates from last frame's bindings (one-frame lag on
-        # the window selection; the window itself changes at KF rate)
-        bound = last_mp[has & store.mp_valid[mp_ids]]
-        ref_kf, local_kfs = self._select_local_window(bound)
-        if ref_kf < 0:
-            return None, False
-        mp_all = store.local_map_points(local_kfs)
-        cand = np.setdiff1d(mp_all, bound, assume_unique=False)
-        P = cfg.local_ba_max_points
-        cand = cand[:P]
-        n_c = len(cand)
-        cand_p = np.pad(cand, (0, P - n_c), constant_values=0).astype(np.int64)
-        cand_valid = np.pad(np.ones(n_c, bool), (0, P - n_c))
-        cand_pts = track_step_mod.PointBlock(
-            pos=jnp.asarray(store.mp_pos[cand_p]),
-            normal=jnp.asarray(store.mp_normal[cand_p]),
-            min_dist=jnp.asarray(store.mp_min_dist[cand_p]),
-            max_dist=jnp.asarray(store.mp_max_dist[cand_p]),
-            desc=jnp.asarray(store.mp_desc[cand_p]),
-            valid=jnp.asarray(cand_valid & store.mp_valid[cand_p]))
+        bound = last_mp[has & store.mp_valid[np.where(has, last_mp, 0)]]
+        if self._device_cand is None:
+            if not self._build_cand_block(bound):
+                return None, False
+        prev_geom = self._device_geom
+        if prev_geom is None:
+            prev_geom = self._build_prev_geom()
+        cand_bound = jnp.asarray(np.isin(self._cand_ids, bound))
 
         feat, res = self._fused(
             jnp.asarray(image), jnp.asarray(self.last_pose),
-            jnp.asarray(self.velocity), self.last_feat, prev_geom, cand_pts)
-        res = jax.device_get(res)  # the single host sync
-
-        n_motion = int(res.n_motion)
-        n_track = int(res.n_track)
-        n_in = int(res.n_inliers)
+            jnp.asarray(self.velocity), self.last_feat, prev_geom,
+            self._device_cand, cand_bound)
+        small = jax.device_get((res.pose, res.velocity, res.src,
+                                res.n_motion, res.n_track, res.n_inliers))
+        pose, velocity, src, n_motion, n_track, n_in = small
+        n_motion, n_track, n_in = int(n_motion), int(n_track), int(n_in)
         if (n_motion < cfg.min_motion_matches
                 or n_track < cfg.min_track_matches
                 or n_in < cfg.min_localmap_matches):
             return feat, False
+        self._device_geom = res.next_geom  # stays on device
 
         # decode match source codes -> map-point bindings
-        src = res.src
         N = cfg.n_features
         cur_mp = np.full(N, -1, np.int32)
         m1 = (src >= 0) & (src < N)
         cur_mp[m1] = last_mp[src[m1]]
         m2 = src >= N
-        cur_mp[m2] = cand_p[src[m2] - N]
+        cur_mp[m2] = self._cand_ids[src[m2] - N]
 
         # bookkeeping (TrackLocalMap's IncreaseVisible/IncreaseFound)
-        if n_c:
-            store.mp_visible[cand] += 1
+        cand_live = self._cand_ids[self._cand_ids >= 0]
+        store.mp_visible[cand_live] += 1
         found = cur_mp[cur_mp >= 0]
         store.mp_found[found] += 1
         store.mp_visible[found] += 1
 
-        self.ref_kf = ref_kf
         self._prev_pose = self.last_pose.copy()
-        self.last_pose = np.asarray(res.pose)
-        self.velocity = np.asarray(res.velocity)
+        self.last_pose = np.asarray(pose)
+        self.velocity = np.asarray(velocity)
         self.cur_mp = cur_mp
         self.n_inliers = n_in
         self._save_frame(feat, frame_id, tracked=True)
@@ -611,6 +650,8 @@ class Tracker:
                 self.velocity = None
         # keep frame->mp binding fresh for the motion model
         self.cur_mp = self.last_mp.copy()
+        # mapping/loop closure changed the map: device caches are stale
+        self._invalidate_device_state()
 
     _prev_pose = None
 

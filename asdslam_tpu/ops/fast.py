@@ -132,8 +132,19 @@ def detect_level(
     use = jnp.where(cell_has_hi, cells_hi, cells_lo)
     cell_scores = jnp.where(use, cells_s, 0.0)
 
-    # Per-cell top-`cell_cap` by score.
-    cap_scores, cap_idx = jax.lax.top_k(cell_scores, cell_cap)  # [C, cap]
+    # Per-cell top-`cell_cap` by score: `cell_cap` max/argmax+mask passes —
+    # exact, and cheaper on TPU than a per-cell sort for small caps.
+    cap_list_s, cap_list_i = [], []
+    work = cell_scores
+    ccols = jnp.arange(work.shape[1])
+    for _ in range(cell_cap):
+        ci = jnp.argmax(work, axis=1).astype(jnp.int32)
+        cs = jnp.take_along_axis(work, ci[:, None], axis=1)[:, 0]
+        cap_list_s.append(cs)
+        cap_list_i.append(ci)
+        work = jnp.where(ccols[None, :] == ci[:, None], -jnp.inf, work)
+    cap_scores = jnp.stack(cap_list_s, axis=1)  # [C, cap]
+    cap_idx = jnp.stack(cap_list_i, axis=1)
 
     # Recover global (y, x) from cell index + intra-cell index.
     cell_ids = jnp.arange(ncy * ncx)[:, None]

@@ -54,13 +54,13 @@ def nn_match(
     dist: [N, M] (masked entries = +inf).
     Returns (match_idx [N] int32, match_dist [N], valid [N] bool).
     """
-    # top-2 smallest per row.  `ratio` and `mutual` must be trace-time
-    # constants (callers mark them static).
-    neg = -dist
-    top2, idx2 = jax.lax.top_k(neg, 2)
-    best = -top2[:, 0]
-    second = -top2[:, 1]
-    bi = idx2[:, 0]
+    # top-2 smallest per row via two min/argmin passes — exact, and far
+    # cheaper on TPU than lax.top_k's sorting network for k=2.
+    bi = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(dist, bi[:, None], axis=1)[:, 0]
+    cols = jnp.arange(dist.shape[1])
+    masked = jnp.where(cols[None, :] == bi[:, None], INF, dist)
+    second = jnp.min(masked, axis=1)
     ok = best <= max_dist
     if ratio < 1.0:
         # +inf second (no other candidate) passes the ratio test

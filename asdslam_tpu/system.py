@@ -62,9 +62,14 @@ class System:
         self.local_mapper.tracer = self.tracer
 
     def track_monocular(self, image, frame_id: int) -> Optional[np.ndarray]:
-        """image: [H, W] float32 in [0, 1].  Returns pose7 T_cw or None."""
+        """image: [H, W] — float32 in [0, 1] or uint8 in [0, 255] (uint8
+        uploads 4x less and is converted on device).  Returns pose7 T_cw or
+        None."""
+        img = jnp.asarray(image)
+        if not jnp.issubdtype(img.dtype, jnp.integer):
+            img = img.astype(jnp.float32)
         with self.tracer.span("frame"):
-            return self.tracker.process(jnp.asarray(image, jnp.float32), frame_id)
+            return self.tracker.process(img, frame_id)
 
     # ------------------------------------------------------------------ #
     def keyframe_trajectory(self):
