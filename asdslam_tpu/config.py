@@ -36,6 +36,10 @@ class SlamConfig:
     # Descriptor type: 128-float ASD (learned) or 256-bit ORB (use_orb flag)
     use_orb: bool = False             # --use_orb
     descriptor_dim: int = 128         # ASD output dim (ASDNet.py:331-370)
+    # Fused Pallas matcher for the hot projection searches (ops/pallas_match):
+    # computes distance tiles in VMEM instead of materializing the [N, M]
+    # matrix in HBM.  Off by default pending per-shape benchmarking.
+    use_pallas_match: bool = False
 
     # ------------------------------------------------------------------ #
     # Matching (ref: src/vslam/src/ORBmatcher.cc:37-39)
@@ -166,6 +170,38 @@ class SlamConfig:
     @property
     def level_sigma2(self) -> Tuple[float, ...]:
         return tuple(s * s for s in self.scale_factors)
+
+    @property
+    def has_distortion(self) -> bool:
+        return any(abs(c) > 1e-12 for c in self.dist_coeffs)
+
+    @property
+    def undistorted_bounds(self) -> Tuple[float, float, float, float]:
+        """(x_min, x_max, y_min, y_max) of the undistorted image — the
+        reference computes these by undistorting the image corners
+        (Frame::ComputeImageBounds, src/vslam/src/Frame.cc:330-358) and uses
+        them for the frustum check instead of the raw image rectangle."""
+        w, h = float(self.image_width), float(self.image_height)
+        if not self.has_distortion:
+            return (0.0, w, 0.0, h)
+        import numpy as np
+        k1, k2, p1, p2 = self.dist_coeffs
+        corners = np.array([[0.0, 0.0], [w, 0.0], [0.0, h], [w, h]])
+        xd = np.stack([(corners[:, 0] - self.cx) / self.fx,
+                       (corners[:, 1] - self.cy) / self.fy], axis=-1)
+        xn = xd.copy()
+        for _ in range(8):  # fixed-point inversion (camera.undistort_normalized)
+            x, y = xn[:, 0], xn[:, 1]
+            r2 = x * x + y * y
+            radial = 1.0 + k1 * r2 + k2 * r2 * r2
+            dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+            dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+            xn = np.stack([(xd[:, 0] - dx) / radial,
+                           (xd[:, 1] - dy) / radial], axis=-1)
+        u = xn[:, 0] * self.fx + self.cx
+        v = xn[:, 1] * self.fy + self.cy
+        return (float(min(u[0], u[2])), float(max(u[1], u[3])),
+                float(min(v[0], v[1])), float(max(v[2], v[3])))
 
     def replace(self, **kw) -> "SlamConfig":
         return dataclasses.replace(self, **kw)

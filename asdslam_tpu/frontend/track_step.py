@@ -94,6 +94,7 @@ def make_track_step(cfg: SlamConfig, K, extract_fn):
     scale_factors = jnp.asarray(cfg.scale_factors, jnp.float32)
     inv_sigma2 = jnp.asarray(cfg.inv_level_sigma2, jnp.float32)
     N = cfg.n_features
+    bx0, bx1, by0, by1 = cfg.undistorted_bounds
 
     @jax.jit
     def track_step(img, prev_pose7, velocity7, prev_feat,
@@ -113,8 +114,8 @@ def make_track_step(cfg: SlamConfig, K, extract_fn):
         uv_p, _, _, vis_p = visibility.project_points(
             pred, K, prev_pts.pos, prev_pts.normal,
             prev_pts.min_dist, prev_pts.max_dist, prev_pts.valid,
-            float(cfg.image_width), float(cfg.image_height),
-            cfg.scale_factor, cfg.n_levels, min_view_cos=-1.0)
+            bx1, by1, cfg.scale_factor, cfg.n_levels, min_view_cos=-1.0,
+            x_min=bx0, y_min=by0)
 
         lvl_radius = scale_factors[prev_feat.level]
 
@@ -122,7 +123,8 @@ def make_track_step(cfg: SlamConfig, K, extract_fn):
             return match.search_projection(
                 prev_feat.desc, feat.desc, uv_p, feat.uv_und,
                 vis_p, feat.valid, radius * lvl_radius, cfg.match_th_high,
-                ratio=1.0, pred_level_a=prev_feat.level, levels_b=feat.level)
+                ratio=1.0, pred_level_a=prev_feat.level, levels_b=feat.level,
+                use_pallas=cfg.use_pallas_match)
 
         idx_n, d_n, ok_n = run_search(cfg.search_radius_motion)
         n_narrow = jnp.sum(ok_n)
@@ -153,14 +155,14 @@ def make_track_step(cfg: SlamConfig, K, extract_fn):
         uv_c, lvl_c, _, vis_c = visibility.project_points(
             pose1, K, cand_pts.pos, cand_pts.normal,
             cand_pts.min_dist, cand_pts.max_dist, cand_valid,
-            float(cfg.image_width), float(cfg.image_height),
-            cfg.scale_factor, cfg.n_levels)
+            bx1, by1, cfg.scale_factor, cfg.n_levels,
+            x_min=bx0, y_min=by0)
         radii_c = 4.0 * scale_factors[lvl_c]
         idx_c, d_c, ok_c = match.search_projection(
             cand_pts.desc, feat.desc, uv_c, feat.uv_und,
             vis_c, feat.valid, radii_c, cfg.match_th_high,
             ratio=0.8, pred_level_a=lvl_c, levels_b=feat.level,
-            skip_b=src1 >= 0)
+            skip_b=src1 >= 0, use_pallas=cfg.use_pallas_match)
 
         P = cand_pts.pos.shape[0]
         src2 = _scatter_codes(idx_c, ok_c, N + jnp.arange(P), N)

@@ -23,8 +23,14 @@ def project_points(
     scale_factor: float = 1.2, n_levels: int = 8,
     min_view_cos: float = 0.5,
     border: float = 0.0,
+    x_min: float = 0.0, y_min: float = 0.0,
 ):
-    """Returns (uv [M, 2], pred_level [M], view_cos [M], visible [M])."""
+    """Returns (uv [M, 2], pred_level [M], view_cos [M], visible [M]).
+
+    width/height are the MAX image bounds and x_min/y_min the MIN — for a
+    distorted camera pass cfg.undistorted_bounds (the reference's
+    mnMinX..mnMaxY from undistorted corners, Frame.cc:330-358); for a
+    distortion-free camera the defaults give the raw image rectangle."""
     R, t = se3.pose_unpack(pose7)
     xc = jnp.einsum("ij,mj->mi", R, pos) + t
     z = xc[:, 2]
@@ -38,7 +44,8 @@ def project_points(
     dist = jnp.linalg.norm(pc, axis=1)
     view_cos = jnp.sum(pc * normal, axis=1) / jnp.clip(dist, 1e-9)
 
-    in_img = (u >= border) & (u < width - border) & (v >= border) & (v < height - border)
+    in_img = ((u >= x_min + border) & (u < width - border)
+              & (v >= y_min + border) & (v < height - border))
     in_depth = z > 0
     in_range = (dist >= 0.8 * min_dist) & (dist <= 1.2 * max_dist)
     ok_angle = view_cos > min_view_cos

@@ -52,15 +52,27 @@ def _plane_texture(a, b, scale, salt):
     return 0.25 + 0.5 * (0.65 * v + 0.35 * v2)
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width"))
-def render_frame(pose7, K, height: int, width: int, scene: Scene = Scene()):
-    """Render one [H, W] grayscale frame from camera pose T_cw."""
+@functools.partial(jax.jit, static_argnames=("height", "width", "dist"))
+def render_frame(pose7, K, height: int, width: int, scene: Scene = Scene(),
+                 dist: tuple = None):
+    """Render one [H, W] grayscale frame from camera pose T_cw.
+
+    dist: optional radtan (k1, k2, p1, p2) — renders the scene as seen
+    through a distorting lens: pixel (u, v) carries DISTORTED normalized
+    coords, so the true ray direction is their radtan inverse (what
+    cv::undistortPoints would recover)."""
     R, t = se3.pose_unpack(pose7)
     c = -R.T @ t  # camera centre in world
     v, u = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
                         jnp.arange(width, dtype=jnp.float32), indexing="ij")
     xn = (u - K[0, 2]) / K[0, 0]
     yn = (v - K[1, 2]) / K[1, 1]
+    if dist is not None and any(abs(d) > 1e-12 for d in dist):
+        from asdslam_tpu.geometry import camera as camera_mod
+        cam = camera_mod.Camera.create(1.0, 1.0, 0.0, 0.0, *dist)
+        und = camera_mod.undistort_normalized(
+            cam, jnp.stack([xn, yn], axis=-1))
+        xn, yn = und[..., 0], und[..., 1]
     d_cam = jnp.stack([xn, yn, jnp.ones_like(xn)], axis=-1)
     d = jnp.einsum("ji,hwj->hwi", R, d_cam)  # world ray dirs (R^T d_cam)
 
@@ -109,7 +121,9 @@ def make_trajectory(n_frames: int, step: float = 0.25, turn: float = 0.0):
 
 
 def render_sequence(K, n_frames: int, height: int, width: int,
-                    step: float = 0.25, turn: float = 0.0, scene: Scene = Scene()):
+                    step: float = 0.25, turn: float = 0.0, scene: Scene = Scene(),
+                    dist: tuple = None):
     poses = make_trajectory(n_frames, step, turn)
-    frames = [render_frame(poses[i], K, height, width, scene) for i in range(n_frames)]
+    frames = [render_frame(poses[i], K, height, width, scene, dist=dist)
+              for i in range(n_frames)]
     return jnp.stack(frames), poses

@@ -35,7 +35,8 @@ from asdslam_tpu.estimators import sim3_horn
 from asdslam_tpu.backend import pose_graph, global_ba, ba
 from asdslam_tpu.loop import vocab as vocab_mod
 from asdslam_tpu.loop.keyframe_db import KeyFrameDatabase
-from asdslam_tpu.mapping.map_store import MapStore, _pose_np
+from asdslam_tpu.mapping.map_store import (
+    MapStore, _pose_np, _pose_np_batch, _mat_to_quat_np_batch)
 
 
 class LoopCloser:
@@ -190,52 +191,64 @@ class LoopCloser:
         if n_inl < cfg.sim3_min_inliers:
             return False
 
-        # guided projection support check: project the loop side's local map
-        # points into kf through the corrected pose; need >= 40 total matches
+        # bidirectional guided support check (ORBmatcher::SearchBySim3 via
+        # LoopClosing::ComputeSim3, LoopClosing.cc:269-441): project the loop
+        # side's points into kf through S^{-1} AND kf's own local points into
+        # cand through S; both directions must support the loop — one-way
+        # agreement is weak evidence when descriptors alias.
         S_ck = (float(s), np.asarray(R), np.asarray(t))   # kf-cam -> cand-cam
         loop_kfs = [cand] + store.covisible_kfs(cand, min_weight=cfg.covis_weight_graph, max_n=10)
         loop_mps = store.local_map_points(loop_kfs)
-        n_proj = self._count_guided_matches(kf, cand, S_ck, loop_mps)
-        total = max(n_inl, n_proj)
+        own_kfs = [kf] + store.covisible_kfs(kf, min_weight=cfg.covis_weight_graph, max_n=10)
+        own_mps = store.local_map_points(own_kfs)
+
+        # world -> kf-cam corrected chain: x_kf = S^{-1}(R2 X + t2); with
+        # the 1/s depth scale folded into translation (projection is
+        # invariant to a global scaling of camera coords):
+        R2, t2 = _pose_np(store.kf_pose[cand])
+        Rn, tn = S_ck[1], S_ck[2]
+        pose_fwd = np.concatenate([
+            np.asarray(se3.matrix_to_quat(jnp.asarray(Rn.T @ R2))),
+            ((Rn.T @ (t2 - tn)) / S_ck[0]).astype(np.float32)])
+        # world -> cand-cam corrected chain: x_cand = S(Rk X + tk) = s R Rk X
+        # + s R tk + t; scale-folded: (R Rk, R tk + t/s)
+        Rk, tk = _pose_np(store.kf_pose[kf])
+        pose_bwd = np.concatenate([
+            np.asarray(se3.matrix_to_quat(jnp.asarray(Rn @ Rk))),
+            (Rn @ tk + tn / S_ck[0]).astype(np.float32)])
+
+        n_fwd = self._count_guided_matches(kf, pose_fwd, loop_mps)
+        n_bwd = self._count_guided_matches(cand, pose_bwd, own_mps)
+        total = max(n_inl, min(n_fwd, n_bwd))
         if total < cfg.loop_min_total_matches:
             return False
 
         self._correct_loop(kf, cand, S_ck, loop_mps)
         return True
 
-    def _count_guided_matches(self, kf: int, cand: int, S_ck, loop_mps) -> int:
-        """SearchByProjection of the loop side's points into kf through the
-        Sim3-corrected pose (LoopClosing::ComputeSim3 guided stage).
-
-        The corrected world->kf-cam chain bridges through the candidate's
-        camera (the frame the Sim3 was estimated in):
-            x_kf = S_ck^{-1}(x_cand),  x_cand = R2 X + t2
-        giving rotation R^T R2 and translation (R^T (t2 - t)) / s with the
-        1/s depth scale folded into the translation (projection is invariant
-        to a global scaling of camera coords)."""
+    def _count_guided_matches(self, dst_kf: int, pose_corr, mps) -> int:
+        """SearchByProjection of map points into dst_kf's features through a
+        Sim3-corrected (scale-folded) pose — one direction of the
+        SearchBySim3 mutual check."""
         cfg = self.cfg
         store = self.store
-        if len(loop_mps) == 0:
+        if len(mps) == 0:
             return 0
-        s, R, t = S_ck
-        R2, t2 = _pose_np(store.kf_pose[cand])
-        tc = (R.T @ (t2 - t)) / s
-        pose_corr = np.concatenate([
-            np.asarray(se3.matrix_to_quat(jnp.asarray(R.T @ R2))),
-            tc.astype(np.float32)])
         from asdslam_tpu.frontend import visibility
         P = cfg.local_ba_max_points
-        mps = loop_mps[:P]
+        mps = np.asarray(mps)[:P]
         pad = P - len(mps)
         mp_p = np.pad(mps, (0, pad), constant_values=0)
         valid_a = np.pad(np.ones(len(mps), bool), (0, pad))
-        f1 = store.kf_features[kf]
+        f1 = store.kf_features[dst_kf]
+        bx0, bx1, by0, by1 = cfg.undistorted_bounds
         uv, pred_level, view_cos, vis = visibility.project_points(
             jnp.asarray(pose_corr), self.K,
             jnp.asarray(store.mp_pos[mp_p]), jnp.asarray(store.mp_normal[mp_p]),
             jnp.asarray(store.mp_min_dist[mp_p]), jnp.asarray(store.mp_max_dist[mp_p]),
-            jnp.asarray(valid_a), float(cfg.image_width), float(cfg.image_height),
-            cfg.scale_factor, cfg.n_levels, min_view_cos=-1.0)
+            jnp.asarray(valid_a), bx1, by1,
+            cfg.scale_factor, cfg.n_levels, min_view_cos=-1.0,
+            x_min=bx0, y_min=by0)
         radii = 10.0 * self.scale_factors[np.asarray(pred_level)]
         idx, d, ok = match.search_projection(
             jnp.asarray(store.mp_desc[mp_p]), f1.desc, uv, f1.uv_und,
@@ -327,12 +340,14 @@ class LoopCloser:
         mp_p = np.pad(mps, (0, pad), constant_values=0)
         valid_a = np.pad(np.ones(len(mps), bool), (0, pad))
         fd = store.kf_features[dst_kf]
+        bx0, bx1, by0, by1 = cfg.undistorted_bounds
         uv, pred_level, view_cos, vis = visibility.project_points(
             jnp.asarray(store.kf_pose[dst_kf]), self.K,
             jnp.asarray(store.mp_pos[mp_p]), jnp.asarray(store.mp_normal[mp_p]),
             jnp.asarray(store.mp_min_dist[mp_p]), jnp.asarray(store.mp_max_dist[mp_p]),
-            jnp.asarray(valid_a), float(cfg.image_width), float(cfg.image_height),
-            cfg.scale_factor, cfg.n_levels, min_view_cos=-1.0)
+            jnp.asarray(valid_a), bx1, by1,
+            cfg.scale_factor, cfg.n_levels, min_view_cos=-1.0,
+            x_min=bx0, y_min=by0)
         radii = cfg.fuse_radius * self.scale_factors[np.asarray(pred_level)]
         idx, d, ok = match.search_projection(
             jnp.asarray(store.mp_desc[mp_p]), fd.desc, uv, fd.uv_und,
@@ -351,85 +366,87 @@ class LoopCloser:
 
     # ------------------------------------------------------------------ #
     def _optimize_essential_graph(self, kf, cand, corrected, non_corrected):
+        """Host assembly is fully vectorized (numpy gathers over the SoA
+        store): at KITTI scale (~1,200 KFs, ~150k observations) the per-edge
+        Python/jnp round-trips of the naive version cost tens of seconds;
+        this version is O(K) small numpy ops + one jitted optimizer call."""
         cfg = self.cfg
         store = self.store
         K = store.n_kf
-        poses8 = np.zeros((K, 8), np.float32)
-        for k in range(K):
-            Rk, tk = _pose_np(store.kf_pose[k])
-            poses8[k] = np.concatenate([
-                np.asarray(se3.matrix_to_quat(jnp.asarray(Rk))), tk, [0.0]])
+        # stored poses are already (quat, t): poses8 = [q, t, log_s=0]
+        poses8 = np.concatenate([store.kf_pose[:K],
+                                 np.zeros((K, 1), np.float32)], axis=1)
 
-        edges_i, edges_j, metas, weights = [], [], [], []
-
-        def rel_sim3(a, b):
-            """measurement S_ba = S_b S_a^-1 from current stored poses."""
-            Ra, ta = _pose_np(store.kf_pose[a])
-            Rb, tb = _pose_np(store.kf_pose[b])
-            Rr = Rb @ Ra.T
-            tr = tb - Rr @ ta
-            return np.concatenate([
-                np.asarray(se3.matrix_to_quat(jnp.asarray(Rr))), tr, [0.0]])
-
-        seen = set()
-
-        def add_edge(a, b, w):
-            if a == b or (min(a, b), max(a, b)) in seen:
-                return
-            seen.add((min(a, b), max(a, b)))
-            edges_i.append(a)
-            edges_j.append(b)
-            metas.append(rel_sim3(a, b))
-            weights.append(w)
-
-        # spanning tree
-        for k in range(K):
-            p = store.kf_parent[k]
-            if p >= 0:
-                add_edge(int(p), k, 1.0)
-        # loop edges
-        for (a, b) in store.loop_edges:
-            add_edge(a, b, 5.0)
-        add_edge(kf, cand, 5.0)
-        # strong covisibility
+        # ---- edge lists (spanning tree > loop > strong covisibility; first
+        # occurrence wins the dedup, preserving the reference's precedence)
+        ea, eb, ew = [], [], []
+        ks = np.arange(K)
+        parents = store.kf_parent[:K]
+        st = parents >= 0
+        ea.append(parents[st].astype(np.int64))
+        eb.append(ks[st].astype(np.int64))
+        ew.append(np.ones(int(st.sum()), np.float32))
+        loop_pairs = list(store.loop_edges) + [(kf, cand)]
+        ea.append(np.asarray([a for a, _ in loop_pairs], np.int64))
+        eb.append(np.asarray([b for _, b in loop_pairs], np.int64))
+        ew.append(np.full(len(loop_pairs), 5.0, np.float32))
+        cov_a, cov_b = [], []
         for k in range(K):
             for nb in store.covisible_kfs(k, min_weight=cfg.covis_weight_essential):
-                add_edge(k, int(nb), 1.0)
-
-        if not edges_i:
+                cov_a.append(k)
+                cov_b.append(int(nb))
+        ea.append(np.asarray(cov_a, np.int64))
+        eb.append(np.asarray(cov_b, np.int64))
+        ew.append(np.ones(len(cov_a), np.float32))
+        a = np.concatenate(ea)
+        b = np.concatenate(eb)
+        w = np.concatenate(ew)
+        ok = a != b
+        a, b, w = a[ok], b[ok], w[ok]
+        if len(a) == 0:
             return
+        key = np.minimum(a, b) * np.int64(store.max_kfs + 1) + np.maximum(a, b)
+        _, first = np.unique(key, return_index=True)
+        first.sort()
+        a, b, w = a[first], b[first], w[first]
+
+        # ---- batched relative Sim3 measurements S_ba = T_b o T_a^-1
+        Ra, ta = _pose_np_batch(store.kf_pose[a])
+        Rb, tb = _pose_np_batch(store.kf_pose[b])
+        Rr = np.einsum("eij,ekj->eik", Rb, Ra)          # Rb @ Ra^T
+        tr = tb - np.einsum("eij,ej->ei", Rr, ta)
+        metas = np.concatenate([_mat_to_quat_np_batch(Rr), tr,
+                                np.zeros((len(a), 1), np.float32)],
+                               axis=1).astype(np.float32)
+
         edges = pose_graph.PoseGraphEdges(
-            i=jnp.asarray(edges_i, jnp.int32),
-            j=jnp.asarray(edges_j, jnp.int32),
-            meas=jnp.asarray(np.stack(metas)),
-            weight=jnp.asarray(weights, jnp.float32),
-            valid=jnp.ones(len(edges_i), bool))
+            i=jnp.asarray(a, jnp.int32),
+            j=jnp.asarray(b, jnp.int32),
+            meas=jnp.asarray(metas),
+            weight=jnp.asarray(w),
+            valid=jnp.ones(len(a), bool))
         fixed = jnp.zeros(K, bool).at[cand].set(True)
         opt = np.asarray(pose_graph.optimize_pose_graph(
             jnp.asarray(poses8), edges, fixed, iters=15))
 
-        # write back: fold scale into SE3; correct map points via first-obs KF
-        pre = {k: _pose_np(store.kf_pose[k]) for k in range(K)}
-        pre_scale = {k: 1.0 for k in range(K)}
-        for k in range(K):
-            sk = float(np.exp(opt[k, 7]))
-            q = opt[k, :4]
-            Rk = np.asarray(se3.quat_to_matrix(jnp.asarray(q)))
-            tk = opt[k, 4:7] / sk
-            store.set_kf_pose(k, np.concatenate([q, tk]).astype(np.float32))
-            pre_scale[k] = sk
+        # ---- write back (fold scale into SE3) + batched point correction
+        pre_R, pre_t = _pose_np_batch(store.kf_pose[:K])
+        sk = np.exp(opt[:, 7]).astype(np.float32)
+        q = opt[:, :4].astype(np.float32)
+        t_new = (opt[:, 4:7] / sk[:, None]).astype(np.float32)
+        store.kf_pose[:K, :4] = q / np.linalg.norm(q, axis=1, keepdims=True)
+        store.kf_pose[:K, 4:7] = t_new
+        R_new, _ = _pose_np_batch(store.kf_pose[:K])
+        store.kf_center[:K] = -np.einsum("kji,kj->ki", R_new, t_new)
 
-        for m in range(store.n_mp):
-            if not store.mp_valid[m]:
-                continue
-            ref = int(store.mp_obs_kf[m, 0]) if store.mp_n_obs[m] > 0 else -1
-            if ref < 0:
-                continue
-            R_old, t_old = pre[ref]
-            xc = R_old @ store.mp_pos[m] + t_old
-            R_new, t_new = _pose_np(store.kf_pose[ref])
-            sk = pre_scale[ref]
-            store.mp_pos[m] = R_new.T @ (xc / sk - t_new)
+        live = store.mp_valid[:store.n_mp] & (store.mp_n_obs[:store.n_mp] > 0)
+        mids = np.nonzero(live)[0]
+        if len(mids):
+            ref = store.mp_obs_kf[mids, 0]
+            pos = store.mp_pos[mids]
+            xc = np.einsum("mij,mj->mi", pre_R[ref], pos) + pre_t[ref]
+            xc = xc / sk[ref][:, None] - t_new[ref]
+            store.mp_pos[mids] = np.einsum("mji,mj->mi", R_new[ref], xc)
 
     # ------------------------------------------------------------------ #
     def _global_ba(self):
@@ -440,30 +457,23 @@ class LoopCloser:
         mp_ids = np.nonzero(store.mp_valid[:store.n_mp])[0]
         if len(mp_ids) == 0 or K_kfs < 3:
             return
-        mp_slot = {int(m): i for i, m in enumerate(mp_ids)}
-        rows = []
-        for m in mp_ids:
-            n = int(store.mp_n_obs[m])
-            for i in range(n):
-                rows.append((int(m), int(store.mp_obs_kf[m, i]), int(store.mp_obs_feat[m, i])))
-                if len(rows) >= max_obs:
-                    break
-            if len(rows) >= max_obs:
-                break
-        O = len(rows)
+        # vectorized observation-table assembly: one gather over the SoA
+        # store instead of a per-row Python loop (O(100k) rows at KITTI scale)
+        pt_row, kfs, feats = store.observation_rows(mp_ids)
+        if len(pt_row) > max_obs:
+            pt_row, kfs, feats = pt_row[:max_obs], kfs[:max_obs], feats[:max_obs]
+        O = len(pt_row)
         O_pad = max_obs
         cam_idx = np.zeros(O_pad, np.int32)
         pt_idx = np.zeros(O_pad, np.int32)
         uv = np.zeros((O_pad, 2), np.float32)
         inv_s2 = np.ones(O_pad, np.float32)
         valid = np.zeros(O_pad, bool)
-        for o, (m, k, feat) in enumerate(rows):
-            cam_idx[o] = k
-            pt_idx[o] = mp_slot[m]
-            h = store.kf_host[k]
-            uv[o] = h.uv_und[feat]
-            inv_s2[o] = self.inv_sigma2[int(h.level[feat])]
-            valid[o] = True
+        cam_idx[:O] = kfs
+        pt_idx[:O] = pt_row
+        uv[:O] = store.kf_uv_t[kfs, feats]
+        inv_s2[:O] = self.inv_sigma2[store.kf_level_t[kfs, feats]]
+        valid[:O] = True
 
         # gauge: optimize all but the FIRST keyframe (moved to the end slot)
         order = list(range(1, K_kfs)) + [0]

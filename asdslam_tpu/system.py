@@ -46,6 +46,14 @@ class System:
                 self.asdnet_params = asdnet_params
                 descriptor_fn = lambda patches: asdnet.apply(asdnet_params, patches)
         self.extract = extractor_mod.make_extractor(cfg, descriptor_fn, rotate_patches)
+        if cfg.has_distortion:
+            # undistort keypoints at extraction (Frame::UndistortKeyPoints,
+            # Frame.cc:298-328); downstream projection stays pinhole on
+            # uv_und like the reference (EuRoC's radtan camera needs this)
+            from asdslam_tpu.geometry import camera as camera_mod
+            cam = camera_mod.Camera.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy,
+                                           *cfg.dist_coeffs)
+            self.extract = extractor_mod.with_undistortion(self.extract, cam)
 
         self.store = MapStore(cfg.max_keyframes, cfg.max_map_points,
                               cfg.n_features, cfg.max_obs_per_point)
@@ -109,8 +117,17 @@ class System:
                                np.asarray(self.cfg.scale_factors, np.float32))
         if self.localization_mode and self.loop_closer is not None:
             lc = self.loop_closer
-            lc.pending = list(range(self.store.n_kf))
-            lc._train_vocab()
+            if lc.vocab is None:
+                # no offline vocabulary supplied: train one from the loaded
+                # map's own descriptors
+                lc.pending = list(range(self.store.n_kf))
+                lc._train_vocab()
+            else:
+                # offline vocabulary (train_vocab.py / --voc_addr): index the
+                # prior map's keyframes under it
+                for kf in range(self.store.n_kf):
+                    lc._add_kf_bow(kf)
+                    lc.db.add(kf, lc.kf_bow[kf])
 
     def stats(self):
         s = self.store
