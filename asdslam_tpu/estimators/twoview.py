@@ -176,13 +176,21 @@ def _check_rt(R, t, xn1, xn2, valid, sigma_norm, parallax_th=0.99998):
     cosp = triangulation.parallax_cos(c1, c2, X)
 
     th2 = 4.0 * sigma_norm * sigma_norm
-    good = (valid & finite & (z1 > 0) & (z2 > 0)
-            & (e1 < th2) & (e2 < th2) & (cosp < parallax_th))
-    n_good = jnp.sum(good.astype(jnp.int32))
+    # Cheirality kills a point only when parallax is meaningful: near-infinite
+    # points jitter across z=0 and still COUNT toward nGood (reference
+    # CheckRT, Initializer.cc:59-66 — `z<=0 && cosParallax<0.99998`).  On
+    # street scenes most matches are distant; requiring parallax to count
+    # would make the 0.9*N ReconstructF gate unreachable.
+    cheir = ((z1 > 0) | (cosp >= parallax_th)) & ((z2 > 0) | (cosp >= parallax_th))
+    counted = valid & finite & cheir & (e1 < th2) & (e2 < th2)
+    n_good = jnp.sum(counted.astype(jnp.int32))
+    # only well-conditioned (parallax) points become map points
+    # (vbGood, Initializer.cc:95-96)
+    good = counted & (cosp < parallax_th) & (z1 > 0) & (z2 > 0)
 
-    # parallax metric: cos at the 50th-best-parallax good point (ref takes the
-    # min(50, n)-th smallest cos)
-    cos_masked = jnp.where(good, cosp, 1.0)
+    # parallax metric: cos at the 50th-best-parallax counted point (ref takes
+    # the min(50, n)-th smallest cos)
+    cos_masked = jnp.where(counted, cosp, 1.0)
     smallest = -jax.lax.top_k(-cos_masked, 50)[0]  # 50 smallest cos
     k = jnp.minimum(n_good, 50) - 1
     par_cos = smallest[jnp.clip(k, 0, 49)]
@@ -353,8 +361,17 @@ def initialize_two_view(
     scores = jnp.where(active, n_good, -1)
     best = jnp.argmax(scores)
     best_good = scores[best]
-    # number of candidates nearly as good (ambiguity check, ReconstructF/H)
-    n_similar = jnp.sum((scores > 0.7 * best_good) & (scores > 0) & active)
+    # Ambiguity check (ReconstructF/H nsimilar): evaluated on PARALLAX-VALID
+    # triangulations only.  The counted total includes near-infinite points
+    # whose cheirality is unknowable (CheckRT waives z<=0 for
+    # cosParallax>=0.99998), and the twisted-pair wrong solution of a
+    # planar/distant scene collects them freely — discriminating on
+    # triangulable points keeps the reference's intent (reject genuinely
+    # ambiguous reconstructions) without rejecting every street scene.
+    n_tri = jnp.sum(good.astype(jnp.int32), axis=1)
+    tri_scores = jnp.where(active, n_tri, -1)
+    best_tri = tri_scores[best]
+    n_similar = jnp.sum((tri_scores > 0.7 * best_tri) & (tri_scores > 0) & active)
 
     n_inl = jnp.sum(jnp.where(use_h, h_inliers, f_inliers).astype(jnp.int32))
     min_good = jnp.maximum(jnp.int32(min_triangulated),

@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""ATE evaluation on the KITTI proxy: full-resolution photoreal renders along
+the REAL KITTI ground-truth trajectory (asdslam_tpu/io/kitti_proxy.py),
+tracked end-to-end, scored with the reference's protocol (sim3 Umeyama
+alignment on all frames, ATE RMSE — experiment_result/*/eval_cfg.yaml:1-2).
+
+The reference numbers (BASELINE.md) are on the real imagery, so they are not
+directly comparable — this is the closest executable validation of the
+trajectory contract available in a zero-egress environment (no KITTI images),
+using real motion dynamics, real intrinsics, real resolution and metric
+scale.
+
+Usage:
+  python eval_kitti_proxy.py --seq 03 --out ATE_r03.json
+  python eval_kitti_proxy.py --seq 03 --scale 0.5 --max_frames 200  # quick
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--seq", default="03")
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--max_frames", type=int, default=0)
+    p.add_argument("--n_boxes", type=int, default=256)
+    p.add_argument("--descriptor", choices=["asd", "patch", "orb"], default="patch")
+    p.add_argument("--asdnet_weights", default="")
+    p.add_argument("--no_loop_closing", action="store_true")
+    p.add_argument("--out", default="")
+    p.add_argument("--traj_out", default="")
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from asdslam_tpu.config import SlamConfig
+    from asdslam_tpu.io.kitti_proxy import KittiProxySequence
+    from asdslam_tpu.system import System
+    from asdslam_tpu.utils import evaluate
+
+    seq = KittiProxySequence(args.seq, scale=args.scale, n_boxes=args.n_boxes,
+                             max_frames=args.max_frames or None)
+    base = SlamConfig()
+    if args.scale < 1.0:
+        base = base.replace(n_features=max(600, int(2000 * args.scale)),
+                            n_levels=4 if args.scale <= 0.5 else 8,
+                            local_ba_max_points=4096, local_ba_max_obs=16384)
+    cfg = seq.config(base)
+
+    descriptor_fn = None
+    asdnet_params = None
+    if args.descriptor == "patch":
+        from asdslam_tpu.models import patch_descriptor
+        descriptor_fn = patch_descriptor.apply
+    elif args.descriptor == "orb":
+        cfg = cfg.replace(use_orb=True)
+    elif args.asdnet_weights:
+        import pickle
+        with open(args.asdnet_weights, "rb") as f:
+            asdnet_params = pickle.load(f)
+
+    system = System(cfg, asdnet_params=asdnet_params,
+                    descriptor_fn=descriptor_fn,
+                    do_loop_closing=not args.no_loop_closing)
+
+    n = len(seq)
+    t0 = time.time()
+    for i in range(n):
+        ts, img = seq[i]
+        system.track_monocular(img, i)
+        if i % 100 == 0:
+            s = system.stats()
+            print(f"frame {i}/{n} kfs={s['n_keyframes']} mps={s['n_map_points']} "
+                  f"state={s['state']} {(i + 1) / (time.time() - t0):.1f} fps",
+                  flush=True)
+    wall = time.time() - t0
+
+    est = evaluate.camera_centers(system.frame_trajectory())
+    gt = evaluate.camera_centers(
+        [(i, seq.gt_pose7[i]) for i in range(n)])
+    e, g = evaluate.associate_by_id(est, gt)
+    result = {
+        "seq": args.seq, "scale": args.scale, "frames": n,
+        "tracked": len(system.frame_trajectory()),
+        "matched_gt": len(e),
+        "keyframes": system.stats()["n_keyframes"],
+        "map_points": system.stats()["n_map_points"],
+        "loops_closed": (system.loop_closer.n_loops_closed
+                         if system.loop_closer else 0),
+        "fps": round(n / wall, 2),
+        "descriptor": args.descriptor,
+        "path_length_m": round(float(np.linalg.norm(
+            np.diff(seq.centers, axis=0), axis=1).sum()), 1),
+    }
+    if len(e) >= 10:
+        result["ate_sim3_m"] = round(float(evaluate.ate_rmse(e, g, align="sim3")), 3)
+        result["ate_se3_m"] = round(float(evaluate.ate_rmse(e, g, align="se3")), 3)
+    print(json.dumps(result))
+    if args.traj_out:
+        system.save_trajectory_tum(args.traj_out,
+                                   {i: seq.timestamps[i] for i in range(n)})
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
