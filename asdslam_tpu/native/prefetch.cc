@@ -74,8 +74,14 @@ struct Loader {
 
       int slot = idx % capacity;
       std::unique_lock<std::mutex> lk(mu);
-      // wait until the slot is free (consumer got the previous occupant)
-      free_cv.wait(lk, [&] { return stop || slot_frame[slot] < next_to_consume; });
+      // Wait until THIS frame's ring window is open, i.e. the slot's
+      // previous occupant (frame idx - capacity) has been consumed.  The
+      // earlier predicate `slot_frame[slot] < next_to_consume` deadlocked:
+      // a fast worker holding frame idx+capacity could see the slot still
+      // at its initial -1 ("free") and write out of order, after which the
+      // consumer waits for a frame that can never land and the displaced
+      // worker waits for a window that never opens.
+      free_cv.wait(lk, [&] { return stop || idx < next_to_consume + capacity; });
       if (stop) return;
       if (status == 1)
         slots[slot].assign(pixels.begin(), pixels.end());

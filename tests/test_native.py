@@ -128,3 +128,26 @@ def test_prefetch_loader_ordered(tmp_path, have_native):
     assert len(got) == 10
     for im, fr in zip(imgs, got):
         np.testing.assert_allclose(fr, im.astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_prefetch_loader_wraparound_race(tmp_path, have_native):
+    """Regression: a worker holding frame idx+capacity could steal a
+    still-initial slot ahead of the displaced frame's worker, deadlocking
+    consumer and worker (prefetch.cc free_cv predicate).  Small ring + more
+    threads than capacity + many frames maximizes wrap-around pressure."""
+    h, w = 8, 8
+    rng = np.random.RandomState(2)
+    imgs = [rng.randint(0, 256, (h, w)).astype(np.uint8) for _ in range(64)]
+    paths = []
+    for i, im in enumerate(imgs):
+        p = str(tmp_path / f"{i:06d}.png")
+        _write_png_gray(p, im)
+        paths.append(p)
+    for _ in range(5):
+        ld = native.PrefetchLoader(paths, h, w, n_threads=6, capacity=2)
+        got = list(ld)
+        ld.close()
+        assert len(got) == 64
+        for im, fr in zip(imgs, got):
+            np.testing.assert_allclose(fr, im.astype(np.float32) / 255.0,
+                                       atol=1e-6)
