@@ -269,7 +269,14 @@ def bundle_adjust(
         # W blocks per observation: [O, 6, 3]
         W = jnp.einsum("oki,o,okj->oij", Jc, wc, Jp)
 
-        # Schur assembly over per-point observation lists
+        # Schur assembly over per-point observation lists.  The naive
+        # per-point outer product materializes [P, K, K, 6, 6], which XLA
+        # pads ~28x on TPU (the trailing (6, 6) tile to (8, 128)) — 12.5 GB
+        # at the reference window shape.  Instead scatter W / W Hpp^-1 into a
+        # per-point CAMERA-COLUMN layout [P, 3, 6*n_opt] (trailing dims tile
+        # cleanly) and collapse the whole double sum
+        #     S[a, b] = sum_p sum_{k->a, m->b} WHinv_k W_m^T
+        # into ONE [6C, 3P] x [3P, 6C] MXU matmul.
         Kmax = pt_obs.shape[1]
         po = jnp.clip(pt_obs, 0, O - 1)
         po_valid = (pt_obs >= 0)
@@ -278,16 +285,16 @@ def bundle_adjust(
         cam_is_opt = (obs.cam_idx[po] < n_opt) & po_valid
         WHinv = jnp.einsum("pkij,pjl->pkil", W_p, Hpp_inv)        # [P, Kmax, 6, 3]
 
-        # S contribution: for each point, outer over its observing cams
-        contrib = jnp.einsum("pkil,pmjl->pkmij", WHinv, W_p)      # [P, K, K, 6, 6]
-        # scatter into dense S [n_opt, n_opt, 6, 6]
-        S = jnp.zeros((n_opt, n_opt, 6, 6))
-        idx_a = jnp.broadcast_to(cam_p[:, :, None], contrib.shape[:3])
-        idx_b = jnp.broadcast_to(cam_p[:, None, :], contrib.shape[:3])
-        mask_ab = (cam_is_opt[:, :, None] & cam_is_opt[:, None, :])
-        S = S.at[idx_a, idx_b].add(contrib * mask_ab[..., None, None], mode="drop")
+        C6 = n_opt * 6
+        cols = cam_p[:, :, None] * 6 + jnp.arange(6)[None, None, :]   # [P, K, 6]
+        pidx = jnp.arange(P)[:, None, None]
+        mk = cam_is_opt[:, :, None, None]
+        A2 = jnp.zeros((P, 3, C6)).at[pidx, :, cols].add(WHinv * mk)
+        B2 = jnp.zeros((P, 3, C6)).at[pidx, :, cols].add(W_p * mk)
+        S_full = jax.lax.dot_general(
+            A2.reshape(P * 3, C6), B2.reshape(P * 3, C6),
+            (((0,), (0,)), ((), ())))                             # [6C, 6C]
 
-        S_full = S.transpose(0, 2, 1, 3).reshape(n_opt * 6, n_opt * 6)
         ar = jnp.arange(n_opt)
         Hcc_blockdiag = jnp.zeros((n_opt, n_opt, 6, 6)).at[ar, ar].set(Hcc)
         Hcc_full = Hcc_blockdiag.transpose(0, 2, 1, 3).reshape(n_opt * 6, n_opt * 6)
