@@ -190,19 +190,37 @@ def search_window(
     return idx, d, ok
 
 
-@functools.partial(jax.jit, static_argnames=("ratio", "level_window"))
+@functools.partial(jax.jit, static_argnames=("ratio", "level_window", "use_pallas"))
 def search_projection(
     desc_a, desc_b, uv_proj_a, uv_b, valid_a, valid_b,
     radius_a, max_dist: float, ratio: float,
     pred_level_a=None, levels_b=None, level_window: int = 1,
-    skip_b=None,
+    skip_b=None, use_pallas: bool = False,
 ):
     """Map-point -> frame projection search (SearchByProjection overloads).
 
     A = projected candidates (map points / last-frame features), B = current
     frame features.  radius_a: per-candidate search radius (scale-dependent).
     skip_b: bool [M] features to exclude (already matched).
+    use_pallas: route the best/second search through the fused VMEM kernel
+    (ops/pallas_match.masked_nn) instead of the HBM distance matrix —
+    numerics verified identical by tests/test_pallas_match.py.
     Returns (match_idx [N], dist [N], valid [N])."""
+    if use_pallas:
+        from asdslam_tpu.ops import pallas_match
+        vb = valid_b if skip_b is None else (valid_b & ~skip_b)
+        r = jnp.broadcast_to(jnp.asarray(radius_a, jnp.float32),
+                             (desc_a.shape[0],))
+        lw = ((-float(level_window), float(level_window))
+              if pred_level_a is not None else (-1e9, 1e9))
+        idx, best, second = pallas_match.masked_nn(
+            desc_a, desc_b, valid_a, vb, uv_proj_a, uv_b, r * r,
+            pred_level_a, levels_b, lw)
+        ok = best <= max_dist
+        if ratio < 1.0:
+            ok = ok & (best < ratio * second)  # masked second is BIG (finite)
+        ok = resolve_duplicates(idx, best, ok, desc_b.shape[0])
+        return idx, best, ok
     dist = distance_matrix(desc_a, desc_b)
     dist = dist + window_mask(uv_proj_a, uv_b, radius_a, valid_a, valid_b)
     if pred_level_a is not None:
