@@ -51,6 +51,8 @@ class Tracker:
 
         self.scale_factors = np.asarray(cfg.scale_factors, np.float32)
         self.inv_sigma2 = np.asarray(cfg.inv_level_sigma2, np.float32)
+        # frustum bounds from undistorted corners (Frame.cc:330-358)
+        self._bx0, self._bx1, self._by0, self._by1 = cfg.undistorted_bounds
 
         self._fused = None             # lazily-built fused track step
         # device-resident fused-path state (avoids per-frame host uploads)
@@ -370,7 +372,21 @@ class Tracker:
         _write_back(self.store, prob, np.asarray(poses), np.asarray(points))
 
     def _reset(self):
-        self.__init__(self.cfg, self.K, self.extract, self.store, self.local_mapper)
+        """Tracking::Reset parity (src/vslam/src/Tracking.cc:1268-1305): a
+        bad initialization clears the MAP, the KF database and the loop
+        closer — not just the tracker — so the next init starts clean."""
+        self.store.clear()
+        if self.local_mapper is not None:
+            self.local_mapper.recent = []
+            lc = self.local_mapper.loop_closer
+            if lc is not None:
+                lc.db = None
+                lc.kf_bow = {}
+                lc.pending = []
+                lc.prev_groups = []
+                lc.last_loop_kf = -10**9
+        self.__init__(self.cfg, self.K, self.extract, self.store,
+                      self.local_mapper, localization_only=self.localization_only)
 
     # ------------------------------------------------------------------ #
     # Tracking
@@ -384,14 +400,27 @@ class Tracker:
         if not ok:
             self.state = LOST
             self._save_frame(feat, frame_id, tracked=False)
+            self._maybe_reset_after_loss()
             return
         self._after_pose(feat, frame_id)
+
+    def _maybe_reset_after_loss(self):
+        """Reference: losing track right after initialization (<= 5 KFs in
+        the map) triggers a full Reset so the system re-initializes instead
+        of relocalizing against a garbage map (Tracking.cc Track() LOST
+        branch)."""
+        if self.localization_only:
+            return
+        if int(self.store.kf_valid.sum()) <= 5:
+            self._reset()
+            self.state = NOT_INITIALIZED
 
     def _after_pose(self, feat, frame_id):
         ok = self._track_local_map(feat)
         if not ok:
             self.state = LOST
             self._save_frame(feat, frame_id, tracked=False)
+            self._maybe_reset_after_loss()
             return
         # velocity update
         if self.last_pose is not None and self._prev_pose is not None:
@@ -432,8 +461,8 @@ class Tracker:
         uv, pred_level, view_cos, vis = visibility.project_points(
             jnp.asarray(pred), self.K, jnp.asarray(pos), jnp.asarray(normal),
             jnp.asarray(mind), jnp.asarray(maxd), jnp.asarray(valid_a),
-            float(cfg.image_width), float(cfg.image_height),
-            cfg.scale_factor, cfg.n_levels, min_view_cos=-1.0,
+            self._bx1, self._by1, cfg.scale_factor, cfg.n_levels,
+            min_view_cos=-1.0, x_min=self._bx0, y_min=self._by0,
         )
         last_levels = np.asarray(self.last_feat.level)
         for radius in (cfg.search_radius_motion, cfg.search_radius_motion_wide):
@@ -597,8 +626,9 @@ class Tracker:
                 jnp.asarray(self.last_pose), self.K,
                 jnp.asarray(store.mp_pos[cand_p]), jnp.asarray(store.mp_normal[cand_p]),
                 jnp.asarray(store.mp_min_dist[cand_p]), jnp.asarray(store.mp_max_dist[cand_p]),
-                jnp.asarray(valid_a), float(cfg.image_width), float(cfg.image_height),
+                jnp.asarray(valid_a), self._bx1, self._by1,
                 cfg.scale_factor, cfg.n_levels,
+                x_min=self._bx0, y_min=self._by0,
             )
             radii = 4.0 * self.scale_factors[np.asarray(pred_level)]
             skip_b = jnp.asarray(cur_mp >= 0)
@@ -682,21 +712,21 @@ def _assemble_ba(store: MapStore, opt_kfs, fixed_kfs, cfg: SlamConfig, inv_sigma
     mp_ids = mp_ids[:max_points]
     if len(mp_ids) == 0:
         return None
-    mp_slot = {int(m): i for i, m in enumerate(mp_ids)}
 
-    rows = []
-    for mi, m in enumerate(mp_ids):
-        n = int(store.mp_n_obs[m])
-        for i in range(n):
-            kf = int(store.mp_obs_kf[m, i])
-            if kf not in kf_slot:
-                continue
-            feat = int(store.mp_obs_feat[m, i])
-            rows.append((int(m), kf, feat))
-            if len(rows) >= max_obs:
-                break
-        if len(rows) >= max_obs:
-            break
+    # vectorized observation gather (replaces the per-row Python loop that
+    # dominated KF-rate host time): one SoA gather + slot remap
+    pt_row, kfs, feats = store.observation_rows(mp_ids)
+    slot_of_kf = np.full(store.max_kfs, -1, np.int64)
+    for k, i in kf_slot.items():
+        slot_of_kf[k] = i
+    cams = slot_of_kf[kfs]
+    keep = cams >= 0
+    pt_row, kfs, feats, cams = pt_row[keep], kfs[keep], feats[keep], cams[keep]
+    if len(pt_row) > max_obs:
+        pt_row, kfs, feats, cams = (pt_row[:max_obs], kfs[:max_obs],
+                                    feats[:max_obs], cams[:max_obs])
+    rows = list(zip(mp_ids[pt_row].tolist(), kfs.tolist(), feats.tolist()))
+    n_rows = len(pt_row)
 
     O = max_obs
     cam_idx = np.zeros(O, np.int32)
@@ -704,13 +734,11 @@ def _assemble_ba(store: MapStore, opt_kfs, fixed_kfs, cfg: SlamConfig, inv_sigma
     uv = np.zeros((O, 2), np.float32)
     inv_s2 = np.ones(O, np.float32)
     valid = np.zeros(O, bool)
-    for o, (m, kf, feat) in enumerate(rows):
-        cam_idx[o] = kf_slot[kf]
-        pt_idx[o] = mp_slot[m]
-        hfeat = store.kf_host[kf]
-        uv[o] = hfeat.uv_und[feat]
-        inv_s2[o] = inv_sigma2_lut[int(hfeat.level[feat])]
-        valid[o] = True
+    cam_idx[:n_rows] = cams
+    pt_idx[:n_rows] = pt_row
+    uv[:n_rows] = store.kf_uv_t[kfs, feats]
+    inv_s2[:n_rows] = np.asarray(inv_sigma2_lut)[store.kf_level_t[kfs, feats]]
+    valid[:n_rows] = True
 
     P = max_points
     points = np.zeros((P, 3), np.float32)

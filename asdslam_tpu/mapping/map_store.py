@@ -53,6 +53,7 @@ class MapStore:
         self.kf_host: List[HostFeat] = []    # host numpy mirrors (same index)
         # dense lookup tables for vectorized bookkeeping
         self.kf_level_t = np.zeros((max_kfs, n_feat), np.int32)
+        self.kf_uv_t = np.zeros((max_kfs, n_feat, 2), np.float32)
         self.kf_center = np.zeros((max_kfs, 3), np.float32)  # camera centres
         self.kf_parent = np.full(max_kfs, -1, np.int32)  # spanning tree
         self.loop_edges: List[tuple] = []  # (kf_a, kf_b) accepted loop pairs
@@ -73,12 +74,67 @@ class MapStore:
         self.mp_n_obs = np.zeros(max_pts, np.int32)
 
     # ------------------------------------------------------------------ #
+    # Lifecycle
+    # ------------------------------------------------------------------ #
+    def clear(self):
+        """Reset to the empty state — Tracking::Reset parity
+        (src/vslam/src/Tracking.cc:1268-1305 clears map + KF database + ids
+        on bad initialization).  Capacities are kept at their current size."""
+        self.__init__(self.max_kfs, self.max_pts, self.n_feat, self.max_obs)
+
+    def _grow_keyframes(self):
+        """Double the keyframe capacity (host numpy arrays only — device
+        kernels consume fixed-size windows assembled from the store, so
+        growth never triggers recompilation)."""
+        old = self.max_kfs
+        new = old * 2
+
+        def g(a, fill):
+            out = np.full((new,) + a.shape[1:], fill, a.dtype)
+            out[:old] = a
+            return out
+
+        self.kf_pose = g(self.kf_pose, 0.0)
+        self.kf_pose[old:, 0] = 1.0
+        self.kf_frame_id = g(self.kf_frame_id, -1)
+        self.kf_valid = g(self.kf_valid, False)
+        self.kf_mp = g(self.kf_mp, -1)
+        self.kf_level_t = g(self.kf_level_t, 0)
+        self.kf_uv_t = g(self.kf_uv_t, 0.0)
+        self.kf_center = g(self.kf_center, 0.0)
+        self.kf_parent = g(self.kf_parent, -1)
+        self.max_kfs = new
+
+    def _grow_map_points(self):
+        old = self.max_pts
+        new = old * 2
+
+        def g(a, fill):
+            out = np.full((new,) + a.shape[1:], fill, a.dtype)
+            out[:old] = a
+            return out
+
+        self.mp_pos = g(self.mp_pos, 0.0)
+        self.mp_desc = g(self.mp_desc, 0.0)
+        self.mp_normal = g(self.mp_normal, 0.0)
+        self.mp_min_dist = g(self.mp_min_dist, 0.0)
+        self.mp_max_dist = g(self.mp_max_dist, 0.0)
+        self.mp_valid = g(self.mp_valid, False)
+        self.mp_first_kf = g(self.mp_first_kf, -1)
+        self.mp_found = g(self.mp_found, 0)
+        self.mp_visible = g(self.mp_visible, 0)
+        self.mp_obs_kf = g(self.mp_obs_kf, -1)
+        self.mp_obs_feat = g(self.mp_obs_feat, -1)
+        self.mp_n_obs = g(self.mp_n_obs, 0)
+        self.max_pts = new
+
+    # ------------------------------------------------------------------ #
     # Keyframes
     # ------------------------------------------------------------------ #
     def add_keyframe(self, pose7: np.ndarray, frame_id: int, features) -> int:
         k = self.n_kf
         if k >= self.max_kfs:
-            raise RuntimeError("keyframe capacity exceeded")
+            self._grow_keyframes()
         self.kf_pose[k] = np.asarray(pose7, np.float32)
         self.kf_frame_id[k] = frame_id
         self.kf_valid[k] = True
@@ -89,6 +145,7 @@ class MapStore:
             desc=np.asarray(features.desc, np.float32),
             valid=np.asarray(features.valid, bool)))
         self.kf_level_t[k] = self.kf_host[k].level
+        self.kf_uv_t[k] = self.kf_host[k].uv_und
         R, t = _pose_np(self.kf_pose[k])
         self.kf_center[k] = -R.T @ t
         self.n_kf += 1
@@ -105,7 +162,7 @@ class MapStore:
     def add_map_point(self, pos, desc, first_kf: int) -> int:
         m = self.n_mp
         if m >= self.max_pts:
-            raise RuntimeError("map point capacity exceeded")
+            self._grow_map_points()
         self.mp_pos[m] = np.asarray(pos, np.float32)
         self.mp_desc[m] = np.asarray(desc, np.float32)
         self.mp_valid[m] = True
@@ -214,6 +271,21 @@ class MapStore:
     # ------------------------------------------------------------------ #
     # Queries for kernel assembly
     # ------------------------------------------------------------------ #
+    def observation_rows(self, mp_ids: np.ndarray):
+        """Vectorized observation table for a block of map points: returns
+        (pt_row, kf, feat) arrays in point-major order, where pt_row indexes
+        into mp_ids.  One gather over the SoA store — replaces per-point
+        Python loops in BA assembly."""
+        mp_ids = np.asarray(mp_ids, np.int64)
+        n = self.mp_n_obs[mp_ids]                       # [M]
+        O = self.max_obs
+        mask = np.arange(O)[None, :] < n[:, None]       # [M, O]
+        pt_row = np.broadcast_to(
+            np.arange(len(mp_ids))[:, None], mask.shape)[mask]
+        kfs = self.mp_obs_kf[mp_ids][mask]
+        feats = self.mp_obs_feat[mp_ids][mask]
+        return pt_row.astype(np.int64), kfs.astype(np.int64), feats.astype(np.int64)
+
     def local_map_points(self, kf_ids: List[int]) -> np.ndarray:
         """Unique valid map-point ids observed by the given KFs."""
         if not kf_ids:
@@ -267,6 +339,49 @@ class MapStore:
         sf = np.asarray(scale_factors)
         self.mp_max_dist[mps] = dist * sf[level]
         self.mp_min_dist[mps] = self.mp_max_dist[mps] / sf[len(sf) - 1]
+
+
+def _pose_np_batch(pose7s: np.ndarray):
+    """Packed poses [K, 7] -> (R [K, 3, 3], t [K, 3]) in numpy."""
+    q = pose7s[:, :4] / np.linalg.norm(pose7s[:, :4], axis=1, keepdims=True)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.stack([
+        np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+        np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+        np.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+    ], axis=1).astype(np.float32)
+    return R, pose7s[:, 4:7].astype(np.float32)
+
+
+def _mat_to_quat_np_batch(R: np.ndarray):
+    """Rotation matrices [K, 3, 3] -> quaternions [K, 4] (w, x, y, z),
+    numerically robust branch selection, fully vectorized."""
+    m00, m11, m22 = R[:, 0, 0], R[:, 1, 1], R[:, 2, 2]
+    tr = m00 + m11 + m22
+    # four candidate constructions, pick the one with the largest pivot
+    qs = np.empty((R.shape[0], 4, 4), R.dtype)
+    s0 = np.sqrt(np.maximum(tr + 1.0, 1e-12)) * 2
+    qs[:, 0] = np.stack([0.25 * s0, (R[:, 2, 1] - R[:, 1, 2]) / s0,
+                         (R[:, 0, 2] - R[:, 2, 0]) / s0,
+                         (R[:, 1, 0] - R[:, 0, 1]) / s0], -1)
+    s1 = np.sqrt(np.maximum(1.0 + m00 - m11 - m22, 1e-12)) * 2
+    qs[:, 1] = np.stack([(R[:, 2, 1] - R[:, 1, 2]) / s1, 0.25 * s1,
+                         (R[:, 0, 1] + R[:, 1, 0]) / s1,
+                         (R[:, 0, 2] + R[:, 2, 0]) / s1], -1)
+    s2 = np.sqrt(np.maximum(1.0 - m00 + m11 - m22, 1e-12)) * 2
+    qs[:, 2] = np.stack([(R[:, 0, 2] - R[:, 2, 0]) / s2,
+                         (R[:, 0, 1] + R[:, 1, 0]) / s2, 0.25 * s2,
+                         (R[:, 1, 2] + R[:, 2, 1]) / s2], -1)
+    s3 = np.sqrt(np.maximum(1.0 - m00 - m11 + m22, 1e-12)) * 2
+    qs[:, 3] = np.stack([(R[:, 1, 0] - R[:, 0, 1]) / s3,
+                         (R[:, 0, 2] + R[:, 2, 0]) / s3,
+                         (R[:, 1, 2] + R[:, 2, 1]) / s3, 0.25 * s3], -1)
+    pivots = np.stack([tr, m00, m11, m22], -1)
+    # prefer the trace branch when it is clearly positive (matches the
+    # scalar helper); otherwise the largest diagonal
+    choice = np.where(tr > 0, 0, 1 + np.argmax(pivots[:, 1:], axis=1))
+    q = qs[np.arange(len(R)), choice]
+    return q / np.linalg.norm(q, axis=1, keepdims=True)
 
 
 def _pose_np(pose7: np.ndarray):

@@ -146,3 +146,100 @@ class TestPoseGraph:
         err0 = np.linalg.norm(centers(poses0) - centers(gt), axis=1).mean()
         err1 = np.linalg.norm(centers(opt) - centers(gt), axis=1).mean()
         assert err1 < err0 * 0.2, (err0, err1)
+
+
+class TestBidirectionalSim3Gate:
+    """The guided support check must be BIDIRECTIONAL (ORBmatcher::
+    SearchBySim3 via LoopClosing.cc:269-441): descriptor aliasing can
+    produce strong one-way projection support against a geometrically wrong
+    candidate; requiring both directions kills such false positives."""
+
+    def _make_store(self):
+        from asdslam_tpu.mapping.map_store import MapStore
+        from asdslam_tpu.config import SlamConfig
+        from asdslam_tpu.loop.loop_closing import LoopCloser
+
+        cfg = SlamConfig(n_features=128, image_width=640, image_height=480,
+                         fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                         local_ba_max_points=512)
+        Km = jnp.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
+        store = MapStore(max_kfs=8, max_pts=1024, n_feat=128, max_obs=8)
+        lc = LoopCloser(cfg, Km, store, run_global_ba=False)
+        return cfg, Km, store, lc
+
+    class Feat:
+        def __init__(self, uv, desc):
+            n = len(uv)
+            self.uv_und = np.asarray(uv, np.float32)
+            self.uv = self.uv_und
+            self.level = np.zeros(n, np.int32)
+            self.angle = np.zeros(n, np.float32)
+            self.score = np.ones(n, np.float32)
+            self.desc = np.asarray(desc, np.float32)
+            self.valid = np.ones(n, bool)
+
+    def test_one_way_aliasing_is_rejected(self):
+        cfg, Km, store, lc = self._make_store()
+        rng = np.random.default_rng(0)
+        N = 128
+        # place A's world points in front of the origin camera
+        X_a = np.column_stack([rng.uniform(-3, 3, N), rng.uniform(-2, 2, N),
+                               rng.uniform(4, 9, N)]).astype(np.float32)
+        uv_a = np.column_stack([500 * X_a[:, 0] / X_a[:, 2] + 320,
+                                500 * X_a[:, 1] / X_a[:, 2] + 240])
+
+        def descs(seed):
+            d = np.random.default_rng(seed).normal(0, 1, (N, 128)).astype(np.float32)
+            return d / np.linalg.norm(d, axis=1, keepdims=True)
+
+        # one-way aliasing: B's map points look like A's features (forward
+        # matches), but A's map points do NOT look like B's features
+        desc_shared = descs(1)    # B's points AND A's features
+        desc_a_pts = descs(2)     # A's map points (match nothing on B)
+        desc_b_feat = descs(3)    # B's features (match nothing of A's points)
+
+        pose_a = np.array([1, 0, 0, 0, 0, 0, 0], np.float32)
+        kf_a = store.add_keyframe(pose_a, 0, self.Feat(uv_a, desc_shared))
+        for i in range(N):
+            m = store.add_map_point(X_a[i], desc_a_pts[i], kf_a)
+            store.add_observation(m, kf_a, i)
+        store.update_normals_batch(np.arange(N), np.asarray(cfg.scale_factors))
+
+        # B: camera FAR away (x += 500) seeing its own identical-layout
+        # geometry — the classic repeated-structure false loop
+        X_b = X_a + np.array([500.0, 0, 0], np.float32)
+        pose_b = np.array([1, 0, 0, 0, -500.0, 0, 0], np.float32)  # t = -R c
+        kf_b = store.add_keyframe(pose_b, 1, self.Feat(uv_a, desc_b_feat))
+        ids_b = []
+        for i in range(N):
+            m = store.add_map_point(X_b[i], desc_shared[i], kf_b)
+            store.add_observation(m, kf_b, i)
+            ids_b.append(m)
+        store.update_normals_batch(np.asarray(ids_b), np.asarray(cfg.scale_factors))
+
+        # identity Sim3 between the two CAMERA frames (the aliasing scenario:
+        # both cameras see identical pixel/descriptor patterns)
+        from asdslam_tpu.mapping.map_store import _pose_np
+        import asdslam_tpu.geometry.se3 as se3m
+
+        Rn, tn, s = np.eye(3, dtype=np.float32), np.zeros(3, np.float32), 1.0
+        R2, t2 = _pose_np(store.kf_pose[kf_b])
+        pose_fwd = np.concatenate([
+            np.asarray(se3m.matrix_to_quat(jnp.asarray(Rn.T @ R2))),
+            ((Rn.T @ (t2 - tn)) / s).astype(np.float32)])
+        Rk, tk = _pose_np(store.kf_pose[kf_a])
+        pose_bwd = np.concatenate([
+            np.asarray(se3m.matrix_to_quat(jnp.asarray(Rn @ Rk))),
+            (Rn @ tk + tn / s).astype(np.float32)])
+
+        mps_b = store.local_map_points([kf_b])
+        mps_a = store.local_map_points([kf_a])
+        # forward: B's points projected into A through the fake Sim3 —
+        # geometry built from B's own frame means these land on A's features
+        n_fwd = lc._count_guided_matches(kf_a, pose_fwd, mps_b)
+        # backward: A's points projected into B — world geometry disagrees
+        n_bwd = lc._count_guided_matches(kf_b, pose_bwd, mps_a)
+        assert n_fwd >= cfg.loop_min_total_matches, n_fwd
+        assert n_bwd < cfg.loop_min_total_matches, n_bwd
+        # the acceptance statistic is min(fwd, bwd): the false loop dies
+        assert min(n_fwd, n_bwd) < cfg.loop_min_total_matches
