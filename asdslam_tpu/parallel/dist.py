@@ -38,6 +38,40 @@ def make_mesh(n_devices: int, axis: str = "data") -> Mesh:
 
 
 # --------------------------------------------------------------------------- #
+# Multi-host runtime (jax.distributed)
+# --------------------------------------------------------------------------- #
+def init_multihost(coordinator_address: str = None, num_processes: int = None,
+                   process_id: int = None):
+    """Initialize the jax.distributed multi-process runtime.
+
+    On a real TPU pod slice all arguments auto-detect from the environment
+    (call with no args); for CPU-simulated multi-host (tests) pass the
+    coordinator explicitly.  Must be called before any other JAX use in the
+    process.  This is the TPU-native replacement for an NCCL/MPI launcher —
+    after it returns, `jax.devices()` is the GLOBAL device list and
+    collectives ride ICI/DCN transparently."""
+    kw = {}
+    if coordinator_address is not None:
+        kw = dict(coordinator_address=coordinator_address,
+                  num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kw)
+
+
+def global_mesh(axis: str = "data") -> Mesh:
+    """Mesh over ALL devices of the (possibly multi-process) runtime."""
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
+def shard_to_mesh(mesh: Mesh, x, spec: P):
+    """Build a globally-sharded array from identical host-local data on every
+    process (each host donates the shards living on its addressable devices).
+    Works single-process too (then it is just a device_put)."""
+    x = np.asarray(x)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+# --------------------------------------------------------------------------- #
 # Data-parallel descriptor inference
 # --------------------------------------------------------------------------- #
 def dp_descriptor_fn(params, mesh: Mesh):
