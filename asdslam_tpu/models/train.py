@@ -81,22 +81,77 @@ def global_orthogonal_regularization(anchor, negative):
     return jnp.mean(nd) ** 2 + jnp.maximum(jnp.mean(nd ** 2) - 1.0 / dim, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("adaptive", "decor"))
+def augment_pair(key, a, p):
+    """Geometric augmentation of matched patch pairs — flip / rot90 /
+    random-resized-crop, the reference's TripletPhotoTour pipeline
+    (ASDNet.py:234-329).  The same transform is applied to BOTH members so
+    correspondence is preserved."""
+    B, S, _ = a.shape
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    rots = jax.random.randint(k1, (B,), 0, 4)
+    flips = jax.random.bernoulli(k2, 0.5, (B,))
+
+    def rot_flip(img, r, f):
+        img = jax.lax.switch(r, [
+            lambda x: x,
+            lambda x: jnp.rot90(x, 1),
+            lambda x: jnp.rot90(x, 2),
+            lambda x: jnp.rot90(x, 3),
+        ], img)
+        return jnp.where(f, img[:, ::-1], img)
+
+    a = jax.vmap(rot_flip)(a, rots, flips)
+    p = jax.vmap(rot_flip)(p, rots, flips)
+
+    # RandomResizedCrop: sample a scale in [0.7, 1.0] and a centre jitter,
+    # bilinear-resample back to SxS
+    scl = jax.random.uniform(k3, (B,), minval=0.7, maxval=1.0)
+    ctr = jax.random.uniform(k4, (B, 2), minval=-2.0, maxval=2.0)
+
+    def crop_resize(img, s, c):
+        half = (S - 1) / 2.0
+        coords = (jnp.arange(S, dtype=jnp.float32) - half) * s
+        gy = coords[:, None] + half + c[0]
+        gx = coords[None, :] + half + c[1]
+        gy = jnp.clip(gy, 0.0, S - 1.001)
+        gx = jnp.clip(gx, 0.0, S - 1.001)
+        y0 = jnp.floor(gy).astype(jnp.int32)
+        x0 = jnp.floor(gx).astype(jnp.int32)
+        y1 = jnp.minimum(y0 + 1, S - 1)
+        x1 = jnp.minimum(x0 + 1, S - 1)
+        wy, wx = gy - y0, gx - x0
+        return (img[y0, x0] * (1 - wy) * (1 - wx) + img[y0, x1] * (1 - wy) * wx
+                + img[y1, x0] * wy * (1 - wx) + img[y1, x1] * wy * wx)
+
+    a = jax.vmap(crop_resize)(a, scl, ctr)
+    p = jax.vmap(crop_resize)(p, scl, ctr)
+    return a, p
+
+
+@functools.partial(jax.jit, static_argnames=("adaptive", "decor", "gor", "augment"))
 def train_step(params, opt_state, batch_a, batch_p, key, lr,
-               adaptive: bool = True, decor: bool = True):
+               adaptive: bool = True, decor: bool = True, gor: bool = True,
+               augment: bool = True):
     """One SGD step on a batch of matched patch pairs [B, 32, 32] x2."""
 
     def loss_fn(p):
-        ka, kp = jax.random.split(key)
+        ka, kp, kaug = jax.random.split(key, 3)
+        ba, bp = (augment_pair(kaug, batch_a, batch_p)
+                  if augment else (batch_a, batch_p))
         # f32 compute for training: the bf16 conv's transpose rule rejects the
         # f32 cotangent produced by preferred_element_type
-        out_a, stats = asdnet.apply(p, batch_a, train=True, dropout_key=ka,
+        out_a, stats = asdnet.apply(p, ba, train=True, dropout_key=ka,
                                     batch_stats=True, compute_dtype=jnp.float32)
-        out_p = asdnet.apply(p, batch_p, train=True, dropout_key=kp,
+        out_p = asdnet.apply(p, bp, train=True, dropout_key=kp,
                              compute_dtype=jnp.float32)
         loss = asd_loss(out_a, out_p, adaptive=adaptive)
         if decor:
             loss = loss + correlation_penalty(out_a)
+        if gor:
+            # global orthogonal regularization against random (non-matching)
+            # descriptors — ASDNet.py:92-98, weighted as in the reference
+            loss = loss + global_orthogonal_regularization(
+                out_a, jnp.roll(out_p, 1, axis=0))
         return loss, stats
 
     (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
