@@ -172,8 +172,6 @@ class LocalMapper:
                 j = int(idx[qi, i])
                 if store.kf_mp[kf1, i] >= 0 or store.kf_mp[kf2, j] >= 0:
                     continue
-                if store.n_mp >= store.max_pts:
-                    break
                 m = store.add_map_point(X[qi, i], desc1[i], kf1)
                 store.add_observation(m, kf1, int(i))
                 store.add_observation(m, kf2, j)

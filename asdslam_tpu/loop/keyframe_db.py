@@ -26,6 +26,11 @@ class KeyFrameDatabase:
         self.present = np.zeros(max_kfs, bool)
 
     def add(self, kf: int, bow_vec: np.ndarray):
+        while kf >= len(self.present):  # track MapStore keyframe growth
+            self.bow = np.concatenate([self.bow, np.zeros_like(self.bow)])
+            self.occ = np.concatenate([self.occ, np.zeros_like(self.occ)])
+            self.present = np.concatenate(
+                [self.present, np.zeros_like(self.present)])
         self.bow[kf] = bow_vec
         self.occ[kf] = bow_vec > 0
         self.present[kf] = True
