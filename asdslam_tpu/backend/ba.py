@@ -192,17 +192,22 @@ class BAProblem(NamedTuple):
 
 
 def build_pt_obs(pt_idx, valid, n_points: int, k_max: int):
-    """Host helper: [P, Kmax] table of observation indices per point."""
+    """Host helper: [P, Kmax] table of observation indices per point.
+    Vectorized — the per-row Python loop cost ~2 s per local BA at the
+    reference window shape (32k observations, KF rate)."""
     import numpy as np
 
     pt_idx = np.asarray(pt_idx)
     valid = np.asarray(valid)
+    rows = np.nonzero(valid & (pt_idx >= 0) & (pt_idx < n_points))[0]
+    p = pt_idx[rows]
+    order = np.argsort(p, kind="stable")
+    rows, p = rows[order], p[order]
+    first = np.searchsorted(p, np.arange(n_points))
+    rank = np.arange(len(p)) - first[p]
+    keep = rank < k_max
     table = np.full((n_points, k_max), -1, np.int32)
-    fill = np.zeros(n_points, np.int32)
-    for o, (p, v) in enumerate(zip(pt_idx, valid)):
-        if v and 0 <= p < n_points and fill[p] < k_max:
-            table[p, fill[p]] = o
-            fill[p] += 1
+    table[p[keep], rank[keep]] = rows[keep]
     return table
 
 
@@ -246,17 +251,24 @@ def bundle_adjust(
         opt_cam = (obs.cam_idx < n_opt)
         wc = w * opt_cam.astype(w.dtype)
 
-        # camera blocks
-        Hcc = jnp.zeros((n_opt, 6, 6)).at[jnp.clip(obs.cam_idx, 0, n_opt - 1)].add(
-            jnp.einsum("oki,o,okj->oij", Jc, wc, Jc), mode="drop")
-        gc = jnp.zeros((n_opt, 6)).at[jnp.clip(obs.cam_idx, 0, n_opt - 1)].add(
-            jnp.einsum("oki,o,ok->oi", Jc, wc, r), mode="drop")
+        # TPU scatter-adds serialize per element — every accumulation in
+        # this step is a gather or a (one-hot) matmul instead.  Camera
+        # blocks: one-hot over the few optimized cameras.
+        oh_cam = (obs.cam_idx[:, None] == jnp.arange(n_opt)[None, :]
+                  ).astype(r.dtype) * wc[:, None]                  # [O, A]
+        JcJc = jnp.einsum("oki,okj->oij", Jc, Jc)
+        Hcc = jnp.einsum("oa,oij->aij", oh_cam, JcJc)
+        Jcr = jnp.einsum("oki,ok->oi", Jc, r)
+        gc = jnp.einsum("oa,oi->ai", oh_cam, Jcr)
 
-        # point blocks
-        Hpp = jnp.zeros((P, 3, 3)).at[obs.pt_idx].add(
-            jnp.einsum("oki,o,okj->oij", Jp, w, Jp), mode="drop")
-        gp = jnp.zeros((P, 3)).at[obs.pt_idx].add(
-            jnp.einsum("oki,o,ok->oi", Jp, w, r), mode="drop")
+        # point blocks: gather each point's observations via pt_obs
+        po = jnp.clip(pt_obs, 0, O - 1)
+        po_valid = (pt_obs >= 0)
+        w_p = w[po] * po_valid                                     # [P, K]
+        Jp_p = Jp[po]                                              # [P, K, 2, 3]
+        r_p = r[po]
+        Hpp = jnp.einsum("pkli,pk,pklj->pij", Jp_p, w_p, Jp_p)
+        gp = jnp.einsum("pkli,pk,pkl->pi", Jp_p, w_p, r_p)
 
         # LM damping: H += lam * diag(H) (diag-embed via d[..., :, None] * I)
         dcc = jnp.maximum(jnp.diagonal(Hcc, axis1=1, axis2=2), 1e-6)
@@ -269,31 +281,29 @@ def bundle_adjust(
         # W blocks per observation: [O, 6, 3]
         W = jnp.einsum("oki,o,okj->oij", Jc, wc, Jp)
 
-        # Schur assembly over per-point observation lists.  The naive
-        # per-point outer product materializes [P, K, K, 6, 6], which XLA
-        # pads ~28x on TPU (the trailing (6, 6) tile to (8, 128)) — 12.5 GB
-        # at the reference window shape.  Instead scatter W / W Hpp^-1 into a
-        # per-point CAMERA-COLUMN layout [P, 3, 6*n_opt] (trailing dims tile
-        # cleanly) and collapse the whole double sum
-        #     S[a, b] = sum_p sum_{k->a, m->b} WHinv_k W_m^T
-        # into ONE [6C, 3P] x [3P, 6C] MXU matmul.
+        # Schur assembly over per-point observation lists.  Two failure
+        # modes to avoid on TPU: (a) the naive per-point outer product
+        # materializes [P, K, K, 6, 6], padded ~28x by tiling (12.5 GB at
+        # the reference window shape); (b) scatter-adds into camera-column
+        # layouts serialize per element.  Instead: per-point per-camera
+        # sums via a small one-hot matmul, then the whole double sum
+        #     S[a, b] = sum_p (sum_{k->a} WHinv_k)(sum_{m->b} W_m)^T
+        # as one dense contraction over (p, l).
         Kmax = pt_obs.shape[1]
-        po = jnp.clip(pt_obs, 0, O - 1)
-        po_valid = (pt_obs >= 0)
         W_p = W[po] * po_valid[..., None, None]                  # [P, Kmax, 6, 3]
         cam_p = jnp.clip(obs.cam_idx[po], 0, n_opt - 1)          # [P, Kmax]
         cam_is_opt = (obs.cam_idx[po] < n_opt) & po_valid
         WHinv = jnp.einsum("pkij,pjl->pkil", W_p, Hpp_inv)        # [P, Kmax, 6, 3]
 
-        C6 = n_opt * 6
-        cols = cam_p[:, :, None] * 6 + jnp.arange(6)[None, None, :]   # [P, K, 6]
-        pidx = jnp.arange(P)[:, None, None]
-        mk = cam_is_opt[:, :, None, None]
-        A2 = jnp.zeros((P, 3, C6)).at[pidx, :, cols].add(WHinv * mk)
-        B2 = jnp.zeros((P, 3, C6)).at[pidx, :, cols].add(W_p * mk)
-        S_full = jax.lax.dot_general(
-            A2.reshape(P * 3, C6), B2.reshape(P * 3, C6),
-            (((0,), (0,)), ((), ())))                             # [6C, 6C]
+        # One-hot per-point camera sums, output laid out [A, 6, 3, P]: the
+        # large P axis lands in the tiled trailing position (a [P, A, 6, 3]
+        # layout pads (6, 3) -> (8, 128), 56x memory traffic).
+        ohk = ((cam_p[..., None] == jnp.arange(n_opt)) & cam_is_opt[..., None]
+               ).astype(W.dtype)                                  # [P, K, A]
+        camA = jnp.einsum("pka,pkil->ailp", ohk, WHinv)           # [A, 6, 3, P]
+        camB = jnp.einsum("pka,pkil->ailp", ohk, W_p)
+        S = jnp.einsum("ailp,bjlp->abij", camA, camB)             # [A, A, 6, 6]
+        S_full = S.transpose(0, 2, 1, 3).reshape(n_opt * 6, n_opt * 6)
 
         ar = jnp.arange(n_opt)
         Hcc_blockdiag = jnp.zeros((n_opt, n_opt, 6, 6)).at[ar, ar].set(Hcc)
@@ -302,18 +312,15 @@ def bundle_adjust(
         S_red = Hcc_full - S_full
 
         # rhs: gc - sum_p W Hpp^-1 gp
-        gp_contrib = jnp.einsum("pkij,pj->pki", WHinv, gp)        # [P, K, 6]
-        rhs_acc = jnp.zeros((n_opt, 6)).at[cam_p].add(
-            gp_contrib * cam_is_opt[..., None], mode="drop")
+        rhs_acc = jnp.einsum("ailp,pl->ai", camA, gp)
         rhs = gc - rhs_acc
 
         S_red = S_red + 1e-8 * jnp.eye(n_opt * 6)
         dc = -jnp.linalg.solve(S_red, rhs.reshape(-1)).reshape(n_opt, 6)
 
-        # back-substitute points: dp = -Hpp^-1 (gp + W^T dc)
-        WT_dc = jnp.zeros((P, 3)).at[obs.pt_idx].add(
-            jnp.einsum("oij,oi->oj", W, dc[jnp.clip(obs.cam_idx, 0, n_opt - 1)]
-                       * (obs.cam_idx < n_opt)[:, None]), mode="drop")
+        # back-substitute points: dp = -Hpp^-1 (gp + W^T dc), gathered
+        dc_k = dc[cam_p] * cam_is_opt[..., None]                  # [P, K, 6]
+        WT_dc = jnp.einsum("pkij,pki->pj", W_p, dc_k)             # [P, 3]
         dp = -jnp.einsum("pij,pj->pi", Hpp_inv, gp + WT_dc)
         dp = jnp.where(pt_w[:, None], dp, 0.0)
 

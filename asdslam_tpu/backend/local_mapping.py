@@ -199,7 +199,10 @@ class LocalMapper:
         store = self.store
         Q = 2 * 10  # fixed pair capacity (10 neighbours, both directions)
         pairs = pairs[:Q]
-        P = cfg.local_ba_max_points
+        # a source KF observes at most n_feat points, so the per-pair block
+        # needs only n_feat rows (local_ba_max_points quadrupled the upload
+        # and matmul cost for nothing)
+        P = min(cfg.local_ba_max_points, cfg.n_features)
 
         mp_blocks = np.zeros((Q, P), np.int64)
         mp_valid = np.zeros((Q, P), bool)

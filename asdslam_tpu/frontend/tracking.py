@@ -698,6 +698,17 @@ class AssembledBA:
         self.obs_map = obs_map  # list of (mp, kf, feat) per obs row
 
 
+def _bucket(n: int, cap: int, lo: int = 1024) -> int:
+    """Smallest power-of-two >= n, clamped to [lo, cap] — BA problems are
+    padded to a handful of bucketed shapes instead of always paying the
+    max-capacity cost (a typical window has ~1/4 of the cap's points/obs,
+    and the solve cost is bandwidth-bound in those shapes)."""
+    b = lo
+    while b < n and b < cap:
+        b *= 2
+    return min(b, cap)
+
+
 def _assemble_ba(store: MapStore, opt_kfs, fixed_kfs, cfg: SlamConfig, inv_sigma2_lut,
                  max_points=None, max_obs=None):
     """Build a fixed-shape BAProblem from the store for the given KF window."""
@@ -712,6 +723,8 @@ def _assemble_ba(store: MapStore, opt_kfs, fixed_kfs, cfg: SlamConfig, inv_sigma
     mp_ids = mp_ids[:max_points]
     if len(mp_ids) == 0:
         return None
+    max_points = _bucket(len(mp_ids), max_points)
+    mp_ids = mp_ids[:max_points]
 
     # vectorized observation gather (replaces the per-row Python loop that
     # dominated KF-rate host time): one SoA gather + slot remap
@@ -725,6 +738,7 @@ def _assemble_ba(store: MapStore, opt_kfs, fixed_kfs, cfg: SlamConfig, inv_sigma
     if len(pt_row) > max_obs:
         pt_row, kfs, feats, cams = (pt_row[:max_obs], kfs[:max_obs],
                                     feats[:max_obs], cams[:max_obs])
+    max_obs = _bucket(len(pt_row), max_obs, lo=4096)
     rows = list(zip(mp_ids[pt_row].tolist(), kfs.tolist(), feats.tolist()))
     n_rows = len(pt_row)
 

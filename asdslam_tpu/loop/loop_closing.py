@@ -88,6 +88,16 @@ class LoopCloser:
         D = np.concatenate(descs, axis=0)
         if len(D) < 1000:
             return
+        # fixed training-set shape: the k-means programs compile per shape,
+        # and a data-dependent descriptor count would miss the persistent
+        # compilation cache on every run (~1 min over a remote-compile link)
+        CAP = 8192
+        if len(D) >= CAP:
+            sel = np.random.default_rng(11).choice(len(D), CAP, replace=False)
+            D = D[sel]
+        else:
+            reps = -(-CAP // len(D))
+            D = np.tile(D, (reps, 1))[:CAP]
         self.vocab = vocab_mod.train_vocab(
             jax.random.PRNGKey(11), jnp.asarray(D),
             branching=self.cfg.vocab_branching, depth=self.cfg.vocab_depth)

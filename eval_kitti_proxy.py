@@ -34,6 +34,8 @@ def main():
     p.add_argument("--no_loop_closing", action="store_true")
     p.add_argument("--out", default="")
     p.add_argument("--traj_out", default="")
+    p.add_argument("--profile", action="store_true",
+                   help="print the per-stage tracer report at the end")
     args = p.parse_args()
 
     import jax
@@ -75,7 +77,8 @@ def main():
     n = len(seq)
     t0 = time.time()
     for i in range(n):
-        ts, img = seq[i]
+        with system.tracer.span("render"):
+            ts, img = seq[i]
         system.track_monocular(img, i)
         if i % 100 == 0:
             s = system.stats()
@@ -104,6 +107,8 @@ def main():
     if len(e) >= 10:
         result["ate_sim3_m"] = round(float(evaluate.ate_rmse(e, g, align="sim3")), 3)
         result["ate_se3_m"] = round(float(evaluate.ate_rmse(e, g, align="se3")), 3)
+    if args.profile:
+        print(system.tracer.report(), flush=True)
     print(json.dumps(result))
     if args.traj_out:
         system.save_trajectory_tum(args.traj_out,
