@@ -29,6 +29,8 @@ class SlamConfig:
     fast_min_threshold: float = 7.0   # minThFAST fallback when a cell is empty
     fast_arc_length: int = 9          # FAST-9 contiguous-arc criterion
     cell_size: int = 30               # 30-px detection cells (ORBextractor.cc:~830)
+    cell_cap: int = 4                 # top-k corners kept per detection cell
+    #                                   (replaces the quadtree's spatial cap)
     edge_margin: int = 19             # border margin for patch/descriptor validity
     patch_size: int = 32              # descriptor patch (ASD input, 32x32)
     orientation_radius: int = 15      # IC_Angle half patch (ORBextractor.cc:80-107)
@@ -52,7 +54,12 @@ class SlamConfig:
     check_orientation: bool = True
     search_radius_motion: float = 15.0  # SearchByProjection th (Tracking.cc:679)
     search_radius_motion_wide: float = 30.0  # widened retry (<20 matches, Tracking.cc:681-685)
-    search_radius_local: float = 1.0    # TrackLocalMap SearchByProjection th
+    search_radius_local: float = 4.0    # TrackLocalMap SearchByProjection
+    #                                     radius factor (th=1 * r=4.0 per
+    #                                     predicted level, ORBmatcher.cc:60-70)
+    min_refkf_matches: int = 15         # TrackReferenceKeyFrame match gate
+    #                                     (Tracking.cc:625) — also the reloc
+    #                                     per-candidate gate (Tracking.cc:1150)
     min_motion_matches: int = 20        # retry gate for motion model matcher
     min_track_matches: int = 10         # TrackWithMotionModel/RefKF success gate
     min_localmap_matches: int = 30      # TrackLocalMap success gate

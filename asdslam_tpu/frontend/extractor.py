@@ -83,7 +83,7 @@ def make_extractor(cfg: SlamConfig, descriptor_fn, rotate_patches: bool = False)
                 min_threshold=cfg.fast_min_threshold / 255.0,
                 max_keypoints=budgets[li],
                 cell_size=cfg.cell_size,
-                cell_cap=4,
+                cell_cap=cfg.cell_cap,
                 border=cfg.edge_margin,
             )
             ang = patches.ic_angle(img_l, xy, radius=cfg.orientation_radius)

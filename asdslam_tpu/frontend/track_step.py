@@ -133,6 +133,12 @@ def make_track_step(cfg: SlamConfig, K, extract_fn):
             n_narrow >= cfg.min_motion_matches,
             lambda: (idx_n, d_n, ok_n),
             lambda: run_search(cfg.search_radius_motion_wide))
+        if cfg.check_orientation:
+            # rotation-consistency histogram on the frame-to-frame matches
+            # (ORBmatcher::CheckOrientation in SearchByProjection(cur, last))
+            ok_m = match.rotation_consistency(
+                prev_feat.angle, feat.angle, idx_m, ok_m,
+                histo_length=cfg.histo_length)
         n_motion = jnp.sum(ok_m)
 
         # per-feature bindings from the motion stage
@@ -157,7 +163,7 @@ def make_track_step(cfg: SlamConfig, K, extract_fn):
             cand_pts.min_dist, cand_pts.max_dist, cand_valid,
             bx1, by1, cfg.scale_factor, cfg.n_levels,
             x_min=bx0, y_min=by0)
-        radii_c = 4.0 * scale_factors[lvl_c]
+        radii_c = cfg.search_radius_local * scale_factors[lvl_c]
         idx_c, d_c, ok_c = match.search_projection(
             cand_pts.desc, feat.desc, uv_c, feat.uv_und,
             vis_c, feat.valid, radii_c, cfg.match_th_high,

@@ -501,7 +501,7 @@ class Tracker:
             max_dist=cfg.match_th_low * 2, ratio=0.7,
         )
         mok_np = np.asarray(mok)
-        if mok_np.sum() < 15:
+        if mok_np.sum() < cfg.min_refkf_matches:
             return False
         idx_np = np.asarray(idx)
         cur_mp = np.full(cfg.n_features, -1, np.int32)
@@ -561,7 +561,7 @@ class Tracker:
                 kf_feat.desc, feat.desc, jnp.asarray(has_mp) & kf_feat.valid,
                 feat.valid, max_dist=cfg.match_th_low * 2, ratio=0.75)
             mok_np = np.asarray(mok)
-            if mok_np.sum() < 15:
+            if mok_np.sum() < cfg.min_refkf_matches:
                 continue
             idx_np = np.asarray(idx)
             # 3D-2D pairs indexed by the CURRENT frame's features
@@ -570,7 +570,7 @@ class Tracker:
             has = cur_mp >= 0
             mp_ids = np.where(has, cur_mp, 0)
             valid = has & store.mp_valid[mp_ids]
-            if valid.sum() < 15:
+            if valid.sum() < cfg.min_refkf_matches:
                 continue
             X = store.mp_pos[mp_ids]
             chi2_px = cfg.reloc_ransac_th2 * sigma2[np.asarray(feat.level)]
@@ -630,7 +630,7 @@ class Tracker:
                 cfg.scale_factor, cfg.n_levels,
                 x_min=self._bx0, y_min=self._by0,
             )
-            radii = 4.0 * self.scale_factors[np.asarray(pred_level)]
+            radii = cfg.search_radius_local * self.scale_factors[np.asarray(pred_level)]
             skip_b = jnp.asarray(cur_mp >= 0)
             idx, d, mok = match.search_projection(
                 jnp.asarray(store.mp_desc[cand_p]), feat.desc, uv, feat.uv_und,
