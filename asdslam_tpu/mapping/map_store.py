@@ -172,12 +172,23 @@ class MapStore:
         self.n_mp += 1
         return m
 
+    def _grow_obs(self):
+        """Double the per-point observation capacity (axis 1)."""
+        def g(a):
+            out = np.full((a.shape[0], a.shape[1] * 2), -1, a.dtype)
+            out[:, :a.shape[1]] = a
+            return out
+
+        self.mp_obs_kf = g(self.mp_obs_kf)
+        self.mp_obs_feat = g(self.mp_obs_feat)
+        self.max_obs *= 2
+
     def add_observation(self, mp: int, kf: int, feat: int):
         if not self.mp_valid[mp]:
             return
         n = self.mp_n_obs[mp]
         if n >= self.max_obs:
-            return
+            self._grow_obs()
         # no duplicate obs of the same KF
         if (self.mp_obs_kf[mp, :n] == kf).any():
             return
@@ -231,12 +242,12 @@ class MapStore:
                 if self.kf_mp[kf, feat] == old:
                     self.kf_mp[kf, feat] = -1
             else:
+                if self.mp_n_obs[new] >= self.max_obs:
+                    self._grow_obs()
                 self.mp_obs_kf[new, self.mp_n_obs[new]] = kf
                 self.mp_obs_feat[new, self.mp_n_obs[new]] = feat
                 self.mp_n_obs[new] += 1
                 self.kf_mp[kf, feat] = new
-                if self.mp_n_obs[new] >= self.max_obs:
-                    break
         self.mp_found[new] += self.mp_found[old]
         self.mp_visible[new] += self.mp_visible[old]
         self.mp_obs_kf[old, :] = -1

@@ -115,3 +115,30 @@ class TestClearAndReset:
         s = sys.stats()
         assert s["n_keyframes"] >= 2, s
         assert s["n_map_points"] > 50, s
+
+
+class TestObsGrowth:
+    def test_observation_capacity_grows(self):
+        store = MapStore(max_kfs=64, max_pts=8, n_feat=4, max_obs=2)
+        m = store.add_map_point([0.0, 0.0, 1.0], np.zeros(128), 0)
+        for k in range(6):
+            store.add_keyframe(_pose(), k, FakeFeat(4))
+            store.add_observation(m, k, 0)
+        assert store.mp_n_obs[m] == 6
+        assert store.max_obs >= 6
+        assert (store.mp_obs_kf[m, :6] == np.arange(6)).all()
+
+    def test_replace_grows_obs(self):
+        store = MapStore(max_kfs=64, max_pts=8, n_feat=4, max_obs=2)
+        a = store.add_map_point([0.0, 0.0, 1.0], np.zeros(128), 0)
+        b = store.add_map_point([0.0, 0.0, 1.1], np.zeros(128), 0)
+        for k in range(4):
+            store.add_keyframe(_pose(), k, FakeFeat(4))
+        store.add_observation(a, 0, 0)
+        store.add_observation(a, 1, 0)
+        store.add_observation(b, 2, 0)
+        store.add_observation(b, 3, 0)
+        store.replace_map_point(b, a)   # a gains b's observations -> grow
+        assert store.mp_n_obs[a] == 4
+        assert not store.mp_valid[b]
+        assert store.kf_mp[2, 0] == a and store.kf_mp[3, 0] == a
