@@ -43,10 +43,17 @@ def edge_residual(Si, Sj, meas):
     return sim3.sim3_log(se, Re, te)
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "cg_iters"))
 def optimize_pose_graph(poses8, edges: PoseGraphEdges, fixed_mask,
-                        iters: int = 20, lam: float = 1e-6):
+                        iters: int = 20, lam: float = 1e-6,
+                        cg_iters: int = 150):
     """GN/LM over packed sim3 poses [K, 8].  fixed_mask [K] bool.
+
+    The normal equations are never assembled densely: H v is evaluated
+    edge-locally (two gathers + two [E, 7, 7] block products + scatter into
+    [K, 7]) inside a block-Jacobi-preconditioned CG — a [7K, 7K] dense solve
+    is ~seconds per iteration and a 16x-padded multi-GB temp at KITTI-00
+    scale (~1,200 KFs), while the graph has only O(K) edges.
 
     Returns optimized poses8."""
     K = poses8.shape[0]
@@ -65,37 +72,65 @@ def optimize_pose_graph(poses8, edges: PoseGraphEdges, fixed_mask,
         return e, Ji, Jj
 
     free = (~fixed_mask).astype(jnp.float32)
+    fixedf = fixed_mask.astype(jnp.float32)
 
     def step(carry, _):
         poses8, lam_c, cost = carry
         e, Ji, Jj = residuals_and_jac(poses8)
         w = edges.weight * edges.valid.astype(e.dtype)
-        # assemble dense H [K*7, K*7], g [K*7]
+        # edge-local GN blocks
         Hii = jnp.einsum("eki,e,ekj->eij", Ji, w, Ji)
         Hjj = jnp.einsum("eki,e,ekj->eij", Jj, w, Jj)
         Hij = jnp.einsum("eki,e,ekj->eij", Ji, w, Jj)
         gi = jnp.einsum("eki,e,ek->ei", Ji, w, e)
         gj = jnp.einsum("eki,e,ek->ei", Jj, w, e)
+        g = (jnp.zeros((K, 7)).at[edges.i].add(gi, mode="drop")
+             .at[edges.j].add(gj, mode="drop")) * free[:, None]
 
-        Hb = jnp.zeros((K, K, 7, 7))
-        Hb = Hb.at[edges.i, edges.i].add(Hii, mode="drop")
-        Hb = Hb.at[edges.j, edges.j].add(Hjj, mode="drop")
-        Hb = Hb.at[edges.i, edges.j].add(Hij, mode="drop")
-        Hb = Hb.at[edges.j, edges.i].add(jnp.swapaxes(Hij, -1, -2), mode="drop")
-        g = jnp.zeros((K, 7)).at[edges.i].add(gi, mode="drop").at[edges.j].add(gj, mode="drop")
+        # diagonal blocks (damping + block-Jacobi preconditioner)
+        D = (jnp.zeros((K, 7, 7)).at[edges.i].add(Hii, mode="drop")
+             .at[edges.j].add(Hjj, mode="drop"))
+        dvec = jnp.maximum(jnp.diagonal(D, axis1=1, axis2=2), 1e-8)
+        D_d = (D + (lam_c * dvec + 1e-8)[:, :, None] * jnp.eye(7)[None]
+               ) * free[:, None, None] + fixedf[:, None, None] * jnp.eye(7)[None]
+        Minv = jnp.linalg.inv(D_d)
 
-        # gauge/fixed handling: zero rows+cols of fixed nodes, identity diag
-        Hb = Hb * free[:, None, None, None] * free[None, :, None, None]
-        g = g * free[:, None]
-        H = Hb.transpose(0, 2, 1, 3).reshape(K * 7, K * 7)
-        diag = jnp.clip(jnp.diagonal(H), 0.0)
-        H = H + jnp.diag(lam_c * jnp.maximum(diag, 1e-8) + 1e-8)
-        # fixed nodes: unit diagonal keeps the system nonsingular
-        fixed_diag = jnp.repeat(fixed_mask.astype(H.dtype), 7)
-        H = H + jnp.diag(fixed_diag)
+        damp = lam_c * dvec + 1e-8                                # [K, 7]
 
-        dx = -jnp.linalg.solve(H, g.reshape(-1)).reshape(K, 7)
-        dx = dx * free[:, None]
+        def matvec(v):
+            # H restricted to free nodes (rows+cols of fixed zeroed, unit
+            # diagonal on fixed — matches the dense formulation)
+            vf = v * free[:, None]
+            vi = vf[edges.i]
+            vj = vf[edges.j]
+            yi = (jnp.einsum("eij,ej->ei", Hii, vi)
+                  + jnp.einsum("eij,ej->ei", Hij, vj))
+            yj = (jnp.einsum("eij,ej->ei", Hjj, vj)
+                  + jnp.einsum("eji,ej->ei", Hij, vi))
+            y = (jnp.zeros((K, 7)).at[edges.i].add(yi, mode="drop")
+                 .at[edges.j].add(yj, mode="drop")) + damp * vf
+            return y * free[:, None] + v * fixedf[:, None]
+
+        def cg_body(_, state):
+            x, r, z, p, rz = state
+            Ap = matvec(p)
+            denom = jnp.sum(p * Ap)
+            alpha = rz / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = jnp.einsum("kij,kj->ki", Minv, r)
+            rz_new = jnp.sum(r * z)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+            return (x, r, z, p * beta + z, rz_new)
+
+        b = -g
+        x0 = jnp.zeros((K, 7))
+        r0 = b
+        z0 = jnp.einsum("kij,kj->ki", Minv, r0)
+        x, _, _, _, _ = jax.lax.fori_loop(
+            0, cg_iters, cg_body, (x0, r0, z0, z0, jnp.sum(r0 * z0)))
+        dx = x * free[:, None]
+
         cand = sim3.retract(poses8, dx)
         e2, _, _ = residuals_and_jac(cand)
         new_cost = jnp.sum(jnp.sum(e2 * e2, axis=1) * w)

@@ -35,8 +35,10 @@ def loop_config():
     )
 
 
-@pytest.mark.slow
 class TestLoopClosure:
+    # always-on: with the persistent compilation cache warm this runs in
+    # ~1 min and is the only end-to-end cover of CorrectLoop (essential
+    # graph + global BA)
     def test_circular_loop(self):
         cfg = loop_config()
         K = jnp.array([[cfg.fx, 0, cfg.cx], [0, cfg.fy, cfg.cy], [0, 0, 1.0]])
