@@ -138,6 +138,39 @@ class System:
             "state": self.tracker.state,
         }
 
+    def save_debug_image(self, path: str, image=None):
+        """getDebugImg parity incl. the visual overlay (System.cc:214-261):
+        draws the last keyframe's observed keypoints and the reprojections
+        of its map points (the reference shows this via cv::imshow; headless
+        environments get a PNG).  `image`: optional [H, W] grayscale
+        backdrop (e.g. the KF's frame); without it the overlay is drawn on
+        a blank canvas.  Returns the stats dict."""
+        info, proj, obs_uv, ok = self.debug_info()
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(self.cfg.image_width / 100.0,
+                                        self.cfg.image_height / 100.0))
+        if image is not None:
+            ax.imshow(np.asarray(image), cmap="gray", vmin=0, vmax=1)
+        else:
+            ax.set_xlim(0, self.cfg.image_width)
+            ax.set_ylim(self.cfg.image_height, 0)
+            ax.set_facecolor("black")
+        if proj is not None:
+            ax.scatter(obs_uv[ok, 0], obs_uv[ok, 1], s=6, c="lime",
+                       marker="o", label="observed")
+            ax.scatter(proj[ok, 0], proj[ok, 1], s=6, c="red", marker="x",
+                       label="reprojected")
+        ax.set_title("reproj err %.2f px, %d matches, %d KFs, %d MPs" % (
+            info.get("mean_reproj_err", float("nan")), info.get("n_matches", 0),
+            info["n_keyframes"], info["n_map_points"]))
+        ax.legend(loc="lower right", fontsize=6)
+        fig.savefig(path, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        return info
+
     def save_result(self, out_dir: str, filenames=None):
         """Plain-text map dump (track/desc/kps/posi/traj.txt) —
         System::saveResult parity (System.cc:548-661)."""
