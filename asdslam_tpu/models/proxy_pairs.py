@@ -41,8 +41,13 @@ class ProxyPairSource:
             return_depth=True)
         return np.asarray(img), np.asarray(depth)
 
-    def sample(self, batch: int, max_delta: int = 6) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (anchors [B, 32, 32], positives [B, 32, 32]) float32."""
+    def sample(self, batch: int, max_delta: int = 6,
+               per_frame_cap: int = 200) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (anchors [B, 32, 32], positives [B, 32, 32]) float32.
+
+        per_frame_cap bounds pairs taken from one rendered frame pair so a
+        large pool spans many viewpoints along the trajectory instead of
+        exhausting a single frame."""
         s = self.seq
         ps = self.patch
         half = ps // 2
@@ -68,7 +73,8 @@ class ProxyPairSource:
             vv, uu, d = vv[ok], uu[ok], d[ok]
             if len(vv) == 0:
                 continue
-            sel = self.rng.choice(len(vv), min(4 * (batch - n), len(vv)),
+            want = min(per_frame_cap, batch - n)
+            sel = self.rng.choice(len(vv), min(4 * want, len(vv)),
                                   replace=False)
             vv, uu, d = vv[sel], uu[sel], d[sel]
 
@@ -90,9 +96,11 @@ class ProxyPairSource:
             vji = np.clip(np.round(vj).astype(int), 0, H - 1)
             good &= np.abs(dep_j[vji, uji] - z) < 0.5
 
+            taken = 0
             for a in np.nonzero(good)[0]:
-                if n >= batch:
+                if n >= batch or taken >= per_frame_cap:
                     break
+                taken += 1
                 y0, x0 = vv[a] - half, uu[a] - half
                 y1, x1 = vji[a] - half, uji[a] - half
                 out_a[n] = img_i[y0:y0 + ps, x0:x0 + ps]
