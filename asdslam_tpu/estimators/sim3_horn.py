@@ -197,3 +197,52 @@ def ransac_sim3(
     n = jnp.sum(inl_f)
     return Sim3Result(success=n >= min_inliers, s=s_f, R=R_f, t=t_f,
                       inliers=inl_f, n_inliers=n)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def optimize_sim3_align(X_src, X_dst, valid, iters: int = 20,
+                        huber_delta: float = 0.5):
+    """3D-3D Sim3 alignment of matched point sets — Optimizer::
+    OptimizeSim3Align parity (src/vslam/src/Optimizer.cc:1196, 1355): align
+    a freshly-built local map onto the loaded global map in localization
+    mode from matched map-point pairs.
+
+    Returns (s, R, t, inlier_mask) minimizing the robust 3D residual
+    || s R x_src + t - x_dst ||.  Horn closed form seeds a GN refinement
+    with Huber weighting (point-pair outliers from descriptor mismatches
+    must not corrupt the fit)."""
+    w0 = valid.astype(X_src.dtype)
+    s0, R0, t0 = horn_sim3(X_src, X_dst, w=w0)
+
+    def residuals(packed):
+        s, R, t = packed
+        r = s * X_src @ R.T + t - X_dst
+        return r
+
+    def step(carry, _):
+        s, R, t = carry
+        r = residuals((s, R, t))
+        nrm = jnp.linalg.norm(r, axis=1)
+        w_h = w0 * jnp.where(nrm <= huber_delta, 1.0,
+                             huber_delta / jnp.clip(nrm, 1e-9))
+
+        def r_of(xi):
+            # tangent: [3 rot, 3 trans, 1 log-scale]
+            from asdslam_tpu.geometry import se3 as se3m
+            dR = se3m.so3_exp(xi[:3])
+            ds = jnp.exp(xi[6])
+            rr = (s * ds) * X_src @ (dR @ R).T + (t + xi[3:6]) - X_dst
+            return (rr * w_h[:, None]).reshape(-1)
+
+        J = jax.jacfwd(r_of)(jnp.zeros(7))
+        r_w = (r * w_h[:, None]).reshape(-1)
+        H = J.T @ J + 1e-8 * jnp.eye(7)
+        dx = -jnp.linalg.solve(H, J.T @ r_w)
+        from asdslam_tpu.geometry import se3 as se3m
+        R_new = se3m.so3_exp(dx[:3]) @ R
+        return (s * jnp.exp(dx[6]), R_new, t + dx[3:6]), None
+
+    (s, R, t), _ = jax.lax.scan(step, (s0, R0, t0), None, length=iters)
+    r = residuals((s, R, t))
+    inliers = valid & (jnp.linalg.norm(r, axis=1) <= huber_delta)
+    return s, R, t, inliers

@@ -243,3 +243,24 @@ class TestBidirectionalSim3Gate:
         assert n_bwd < cfg.loop_min_total_matches, n_bwd
         # the acceptance statistic is min(fwd, bwd): the false loop dies
         assert min(n_fwd, n_bwd) < cfg.loop_min_total_matches
+
+
+class TestSim3Align:
+    def test_optimize_sim3_align_recovers_transform(self):
+        """OptimizeSim3Align parity (Optimizer.cc:1196): robust 3D-3D Sim3
+        fit with 20% outliers."""
+        key = jax.random.PRNGKey(3)
+        N = 200
+        X = jax.random.uniform(key, (N, 3), minval=-5, maxval=5)
+        s_gt = 1.4
+        R_gt = se3.so3_exp(jnp.array([0.1, -0.2, 0.3]))
+        t_gt = jnp.array([2.0, -1.0, 0.5])
+        Y = s_gt * X @ R_gt.T + t_gt
+        Y = Y + 0.01 * jax.random.normal(jax.random.PRNGKey(4), Y.shape)
+        Y = Y.at[:40].add(jax.random.normal(jax.random.PRNGKey(5), (40, 3)) * 5.0)
+        s, R, t, inl = sim3_horn.optimize_sim3_align(X, Y, jnp.ones(N, bool))
+        assert abs(float(s) - s_gt) < 0.01
+        np.testing.assert_allclose(np.asarray(R), np.asarray(R_gt), atol=1e-2)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t_gt), atol=5e-2)
+        inl = np.asarray(inl)
+        assert inl[40:].mean() > 0.95 and inl[:40].mean() < 0.2
