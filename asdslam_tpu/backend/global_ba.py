@@ -29,15 +29,47 @@ from asdslam_tpu.backend import ba
 def global_bundle_adjust(
     poses7, points, pt_valid, obs: ba.Obs, K, n_opt: int,
     iters: int = 10, cg_iters: int = 50, huber: bool = True,
-    chi2_th: float = 5.991,
+    chi2_th: float = 5.991, pt_obs=None, cam_obs=None,
 ):
     """LM with implicit-Schur PCG.  First `n_opt` cameras optimized, rest
-    fixed.  Returns (poses7, points, obs_chi2)."""
+    fixed.  Returns (poses7, points, obs_chi2).
+
+    pt_obs [P, Kp] / cam_obs [C, Kc]: optional per-point / per-camera
+    observation-index tables (ba.build_pt_obs; -1 padded).  When given,
+    every segment reduction runs as gather+einsum instead of a TPU
+    scatter-add (which serializes per element — the dominant cost of this
+    optimizer at KITTI scale).  Without them the scatter fallback keeps the
+    API usable from callers that cannot precompute tables."""
     C = poses7.shape[0]
     P = points.shape[0]
+    O = obs.uv.shape[0]
     delta2 = chi2_th
     obs_valid_f = obs.valid.astype(jnp.float32)
     pt_w = pt_valid
+
+    if pt_obs is not None:
+        po = jnp.clip(pt_obs, 0, O - 1)
+        po_v = (pt_obs >= 0).astype(jnp.float32)
+
+        def seg_pt(x):
+            return jnp.einsum("pk...,pk->p...", x[po], po_v)
+    else:
+        def seg_pt(x):
+            return jnp.zeros((P,) + x.shape[1:]).at[obs.pt_idx].add(
+                x, mode="drop")
+
+    if cam_obs is not None:
+        co = jnp.clip(cam_obs, 0, O - 1)
+        co_v = (cam_obs >= 0).astype(jnp.float32)
+
+        def seg_cam(x):
+            return jnp.einsum("ck...,ck->c...", x[co], co_v)[:n_opt]
+    else:
+        def seg_cam(x):
+            sc = jnp.clip(obs.cam_idx, 0, n_opt - 1)
+            return jnp.zeros((n_opt,) + x.shape[1:]).at[sc].add(
+                x * (obs.cam_idx < n_opt).reshape(
+                    (-1,) + (1,) * (x.ndim - 1)).astype(x.dtype), mode="drop")
 
     def total_cost(poses7, points):
         r, _, _, z = ba._project_residuals(poses7, points, obs, K)
@@ -60,15 +92,11 @@ def global_bundle_adjust(
         w = obs.inv_sigma2 * w_h * obs_valid_f
         wc = w * opt_obs.astype(w.dtype)
 
-        # block diagonals
-        Hcc = jnp.zeros((n_opt, 6, 6)).at[safe_cam].add(
-            jnp.einsum("oki,o,okj->oij", Jc, wc, Jc), mode="drop")
-        gc = jnp.zeros((n_opt, 6)).at[safe_cam].add(
-            jnp.einsum("oki,o,ok->oi", Jc, wc, r), mode="drop")
-        Hpp = jnp.zeros((P, 3, 3)).at[obs.pt_idx].add(
-            jnp.einsum("oki,o,okj->oij", Jp, w, Jp), mode="drop")
-        gp = jnp.zeros((P, 3)).at[obs.pt_idx].add(
-            jnp.einsum("oki,o,ok->oi", Jp, w, r), mode="drop")
+        # block diagonals (segment reductions via gather tables when given)
+        Hcc = seg_cam(jnp.einsum("oki,o,okj->oij", Jc, wc, Jc))
+        gc = seg_cam(jnp.einsum("oki,o,ok->oi", Jc, wc, r))
+        Hpp = seg_pt(jnp.einsum("oki,o,okj->oij", Jp, w, Jp))
+        gp = seg_pt(jnp.einsum("oki,o,ok->oi", Jp, w, r))
 
         dcc = jnp.maximum(jnp.diagonal(Hcc, axis1=1, axis2=2), 1e-6)
         Hcc_d = Hcc + lam * dcc[:, :, None] * jnp.eye(6)[None]
@@ -84,18 +112,17 @@ def global_bundle_adjust(
             # u_o = w_o Jc_o v[cam_o] : [O, 2]
             u = jnp.einsum("oki,oi->ok", Jc, v[safe_cam]) * opt_obs[:, None]
             # a_p = sum_o Jp^T w u : [P, 3]
-            a = jnp.zeros((P, 3)).at[obs.pt_idx].add(
-                jnp.einsum("oki,o,ok->oi", Jp, wc, u), mode="drop")
+            a = seg_pt(jnp.einsum("oki,o,ok->oi", Jp, wc, u))
             b = jnp.einsum("pij,pj->pi", Hpp_inv, a)
             # back out: per obs Jc^T w Jp b_p, accumulate per cam
             t = jnp.einsum("oki,o,okj,oj->oi", Jc, wc, Jp, b[obs.pt_idx])
-            out2 = jnp.zeros((n_opt, 6)).at[safe_cam].add(t * opt_obs[:, None], mode="drop")
+            out2 = seg_cam(t)
             return out - out2
 
         # rhs = gc - W Hpp^-1 gp
         hg = jnp.einsum("pij,pj->pi", Hpp_inv, gp)
         t = jnp.einsum("oki,o,okj,oj->oi", Jc, wc, Jp, hg[obs.pt_idx])
-        rhs = gc - jnp.zeros((n_opt, 6)).at[safe_cam].add(t * opt_obs[:, None], mode="drop")
+        rhs = gc - seg_cam(t)
         rhs = -rhs  # solve S dc = -rhs'
 
         # block-Jacobi preconditioner
@@ -126,8 +153,7 @@ def global_bundle_adjust(
 
         # back-substitute points: per obs  w_o Jp_o^T (Jc_o dc[cam_o])
         u_dc = jnp.einsum("oki,oi->ok", Jc, dc[safe_cam]) * opt_obs[:, None]
-        WT_dc = jnp.zeros((P, 3)).at[obs.pt_idx].add(
-            jnp.einsum("okj,o,ok->oj", Jp, wc, u_dc), mode="drop")
+        WT_dc = seg_pt(jnp.einsum("okj,o,ok->oj", Jp, wc, u_dc))
         dp = -jnp.einsum("pij,pj->pi", Hpp_inv, gp + WT_dc)
         dp = jnp.where(pt_w[:, None], dp, 0.0)
 

@@ -496,10 +496,24 @@ class LoopCloser:
         obs = ba.Obs(cam_idx=jnp.asarray(cam_idx), pt_idx=jnp.asarray(pt_idx),
                      uv=jnp.asarray(uv), inv_sigma2=jnp.asarray(inv_s2),
                      valid=jnp.asarray(valid))
+
+        def pow2(n):
+            b = 4
+            while b < n:
+                b *= 2
+            return b
+
+        # gather tables turn the optimizer's segment reductions into
+        # einsum-over-gathers (TPU scatters serialize; see global_ba)
+        kp = pow2(int(np.bincount(pt_idx[valid], minlength=1).max()))
+        kc = pow2(int(np.bincount(cam_idx[valid], minlength=1).max()))
+        pt_tab = jnp.asarray(ba.build_pt_obs(pt_idx, valid, P, kp))
+        cam_tab = jnp.asarray(ba.build_pt_obs(cam_idx, valid, K_kfs - 1, kc))
         poses_o, points_o, chi2 = global_ba.global_bundle_adjust(
             jnp.asarray(poses), jnp.asarray(store.mp_pos[mp_ids]),
             jnp.ones(P, bool), obs, self.K, n_opt=K_kfs - 1,
-            iters=cfg.loop_gba_iters, cg_iters=40)
+            iters=cfg.loop_gba_iters, cg_iters=40,
+            pt_obs=pt_tab, cam_obs=cam_tab)
         poses_o = np.asarray(poses_o)
         for i, k in enumerate(order):
             store.set_kf_pose(k, poses_o[i])
