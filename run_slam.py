@@ -24,7 +24,12 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--dataset", choices=["kitti", "euroc", "synthetic"], default="synthetic")
+    p.add_argument("--dataset",
+                   choices=["kitti", "euroc", "synthetic", "kitti_proxy"],
+                   default="synthetic")
+    p.add_argument("--proxy_seq", default="03",
+                   help="kitti_proxy: which KITTI ground-truth trajectory")
+    p.add_argument("--proxy_scale", type=float, default=1.0)
     p.add_argument("--seq_dir", default="")
     p.add_argument("--camera_config", default="")
     p.add_argument("--output_addr", default="traj_out.txt")
@@ -68,7 +73,14 @@ def main():
         use_orb=args.use_orb,
     )
 
-    if args.dataset == "kitti":
+    if args.dataset == "kitti_proxy":
+        # photoreal proxy along the real KITTI ground-truth trajectory
+        # (no KITTI images in this environment — see ATE_r03.md)
+        from asdslam_tpu.io.kitti_proxy import KittiProxySequence
+        seq = KittiProxySequence(args.proxy_seq, scale=args.proxy_scale)
+        cfg = seq.config(cfg)
+        h, w = cfg.image_height, cfg.image_width
+    elif args.dataset == "kitti":
         seq = datasets.KittiSequence(args.seq_dir)
         ts0, img0 = seq[0]
         h, w = img0.shape
@@ -91,7 +103,7 @@ def main():
     if args.camera_config:
         info = datasets.read_cam_info(args.camera_config)
         cfg = datasets.config_from_cam_info(cfg, info, w, h)
-    elif args.dataset != "synthetic":
+    elif args.dataset not in ("synthetic", "kitti_proxy"):
         sys.exit("--camera_config required for kitti/euroc")
 
     asdnet_params = None
