@@ -57,6 +57,12 @@ def main():
     p.add_argument("--n_frames", type=int, default=150, help="synthetic only")
     p.add_argument("--profile", action="store_true",
                    help="print per-stage wall-time spans at the end")
+    p.add_argument("--viz_dir", default="",
+                   help="publish live visualization topics here (headless "
+                        "RViz analog: trajectory/points/covisibility PLY, "
+                        "top-down PNG, debug overlay — asdslam_tpu/viz.py)")
+    p.add_argument("--viz_every", type=int, default=50,
+                   help="publish a map snapshot every N frames")
     args = p.parse_args()
 
     from asdslam_tpu.config import SlamConfig
@@ -121,16 +127,30 @@ def main():
     if args.map_addr:
         system.load_map(args.map_addr)
 
+    from asdslam_tpu import viz
+    if args.viz_dir:
+        viz.VisualizationSink.init(args.viz_dir)
+
     n = len(seq)
     t0 = time.time()
     tracked = 0
     timestamps = {}
+    traj_centers = []
     for i in range(args.min_frame, min(n, args.max_frame), args.step_frame):
         ts, img = seq[i]
         timestamps[i] = ts
         pose = system.track_monocular(img, i)
         if pose is not None:
             tracked += 1
+            from asdslam_tpu.mapping.map_store import _pose_np
+            R, t = _pose_np(np.asarray(pose))
+            traj_centers.append(-R.T @ t)
+        if args.viz_dir and i % args.viz_every == 0:
+            viz.publish_map_snapshot(system.store)
+            viz.VisualizationSink.publish_image(
+                "map/topdown", viz.render_topdown(
+                    system.store, trajectory=traj_centers))
+            viz.VisualizationSink.publish_image("camera/frame", np.asarray(img))
         if i % 50 == 0:
             s = system.stats()
             print(f"frame {i}/{n} tracked={tracked} kfs={s['n_keyframes']} "
