@@ -28,7 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from asdslam_tpu.io.synthetic import _plane_texture
+from asdslam_tpu.io.synthetic import _hash01
 
 GT_DIR = "/root/reference/experiment_result/asnd"
 CAM_DIR = "/root/reference/cameraconfig/KITTI"
@@ -217,13 +217,28 @@ def render_boxes(pose7, K, bmin, bmax, salt, height: int, width: int,
         jnp.stack([p[..., 0], p[..., 1]], -1),   # hit z-face -> (x, y)
     ], axis=0)
     sel = jnp.take_along_axis(ab, axis_hit[None, ..., None], axis=0)[0]
-    tex = _plane_texture(sel[..., 0], sel[..., 1], tex_scale,
-                         1)  # base blocks
-    # per-box albedo + second octave keyed by box salt for inter-box contrast
+
+    # Three value-noise octaves, every one keyed on the BOX id (salt_hit is a
+    # per-pixel array; _hash01 broadcasts): without the per-box key, two
+    # walls at different positions along the dropped texture axis alias
+    # exactly, which is precisely the self-similarity that made descriptor
+    # matching noisy on earlier proxy runs.  The fine octave carries most of
+    # the per-patch entropy; it is faded with distance (its ~0.1 m blocks
+    # drop under ~4 px beyond ~20 m — un-mipmapped it would alias into
+    # temporally unstable texture, hurting frame-to-frame matching).
+    def octave(mul, ds):
+        ia = jnp.floor(sel[..., 0] / (tex_scale * mul)).astype(jnp.int32)
+        ib = jnp.floor(sel[..., 1] / (tex_scale * mul)).astype(jnp.int32)
+        return _hash01(ia, ib, salt_hit + ds)
+    v_base = octave(1.0, 1)
+    v_coarse = octave(3.7, 17)
+    v_fine = octave(0.3, 29)
+    w_fine = jax.nn.sigmoid((18.0 - t_hit) * 0.25)
+    tex = 0.40 * v_base + 0.30 * v_coarse \
+        + 0.30 * (w_fine * v_fine + (1.0 - w_fine) * 0.5)
+    # per-box albedo for inter-box brightness contrast
     salt_f = (salt_hit.astype(jnp.float32) * 0.618) % 1.0
-    tex2 = _plane_texture(sel[..., 0] * 0.23 + salt_f * 91.0,
-                          sel[..., 1] * 0.23, tex_scale, 17)
-    img = 0.2 + 0.45 * tex + 0.25 * tex2 + 0.1 * salt_f
+    img = 0.18 + 0.62 * tex + 0.08 * salt_f
     img = img * (1.0 / (1.0 + 0.006 * t_hit))   # distance shading
     sky = 0.72 + 0.06 * yn                       # featureless gradient
     img = jnp.where(t_hit >= BIG, sky, img)
