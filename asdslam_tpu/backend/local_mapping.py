@@ -329,11 +329,12 @@ class LocalMapper:
             fixed.append(window.pop())
         if len(fixed) < 2 or not window:
             return
-        asm = _assemble_ba(store, window, fixed, cfg, self.inv_sigma2)
+        asm = _assemble_ba(store, window, fixed, cfg, self.inv_sigma2,
+                           bucket_cams=True)
         if asm is None:
             return
         poses, points, chi2 = ba.bundle_adjust(
-            asm.problem, self.K, n_opt=len(window),
+            asm.problem, self.K, n_opt=asm.n_opt,
             iters=cfg.local_ba_iters1 + cfg.local_ba_iters2)
         _write_back(store, asm, np.asarray(poses), np.asarray(points),
                     np.asarray(chi2), chi2_th=cfg.chi2_mono)

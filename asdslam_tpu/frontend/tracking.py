@@ -690,12 +690,16 @@ class Tracker:
 # BA assembly helpers (shared with local mapping)
 # --------------------------------------------------------------------------- #
 class AssembledBA:
-    def __init__(self, problem, opt_kfs, fixed_kfs, mp_ids, obs_map):
+    def __init__(self, problem, opt_kfs, fixed_kfs, mp_ids, obs_map,
+                 n_opt=None):
         self.problem = problem
         self.opt_kfs = opt_kfs
         self.fixed_kfs = fixed_kfs
         self.mp_ids = mp_ids
         self.obs_map = obs_map  # list of (mp, kf, feat) per obs row
+        # static n_opt to pass to bundle_adjust (>= len(opt_kfs) when the
+        # camera axis is bucketed; pad cameras carry no observations)
+        self.n_opt = len(opt_kfs) if n_opt is None else n_opt
 
 
 def _bucket(n: int, cap: int, lo: int = 1024) -> int:
@@ -710,14 +714,35 @@ def _bucket(n: int, cap: int, lo: int = 1024) -> int:
 
 
 def _assemble_ba(store: MapStore, opt_kfs, fixed_kfs, cfg: SlamConfig, inv_sigma2_lut,
-                 max_points=None, max_obs=None):
-    """Build a fixed-shape BAProblem from the store for the given KF window."""
+                 max_points=None, max_obs=None, bucket_cams=False):
+    """Build a fixed-shape BAProblem from the store for the given KF window.
+
+    bucket_cams: pad the camera axes (n_opt and total cameras) up to
+    power-of-two buckets with observation-free pad cameras.  Every distinct
+    (n_opt, C) pair is a separate XLA compile of bundle_adjust (n_opt is a
+    static argument and C a tensor shape); an unbucketed growing window
+    recompiles at nearly every keyframe early in a run — 10-20 s each over
+    the remote-compile tunnel, the dominant wall cost of the first few
+    hundred frames.  Pad cameras are numerically inert: no observation
+    references them, so their reduced-system block is pure LM damping and
+    their update is exactly zero."""
     max_points = max_points or cfg.local_ba_max_points
     max_obs = max_obs or cfg.local_ba_max_obs
     opt_kfs = [int(k) for k in opt_kfs]
     fixed_kfs = [int(k) for k in fixed_kfs]
+    n_opt_real = len(opt_kfs)
+    if bucket_cams:
+        n_opt_b = _bucket(n_opt_real, cfg.local_ba_max_kfs, lo=2)
+        c_cap = cfg.local_ba_max_kfs + cfg.local_ba_max_fixed
+        c_real = n_opt_b + len(fixed_kfs)
+        c_b = _bucket(c_real, max(c_cap, c_real), lo=4)
+    else:
+        n_opt_b = n_opt_real
+        c_b = n_opt_real + len(fixed_kfs)
     all_kfs = opt_kfs + fixed_kfs
-    kf_slot = {k: i for i, k in enumerate(all_kfs)}
+    kf_slot = {k: i for i, k in enumerate(opt_kfs)}
+    for j, k in enumerate(fixed_kfs):
+        kf_slot[k] = n_opt_b + j
 
     mp_ids = store.local_map_points(opt_kfs)
     mp_ids = mp_ids[:max_points]
@@ -760,8 +785,13 @@ def _assemble_ba(store: MapStore, opt_kfs, fixed_kfs, cfg: SlamConfig, inv_sigma
     points[:len(mp_ids)] = store.mp_pos[mp_ids]
     pt_valid[:len(mp_ids)] = True
 
-    poses = store.kf_pose[np.asarray(all_kfs)]
-    k_max = min(len(all_kfs), store.max_obs)
+    poses = np.zeros((c_b, 7), np.float32)
+    poses[:, 0] = 1.0
+    poses[:n_opt_real] = store.kf_pose[np.asarray(opt_kfs)]
+    poses[n_opt_real:n_opt_b] = poses[max(n_opt_real - 1, 0)]  # inert opt pads
+    if fixed_kfs:
+        poses[n_opt_b:n_opt_b + len(fixed_kfs)] = store.kf_pose[np.asarray(fixed_kfs)]
+    k_max = min(_bucket(len(all_kfs), store.max_obs, lo=8), store.max_obs)
     pt_obs = ba.build_pt_obs(pt_idx, valid, P, k_max)
 
     obs = ba.Obs(cam_idx=jnp.asarray(cam_idx), pt_idx=jnp.asarray(pt_idx),
@@ -770,7 +800,7 @@ def _assemble_ba(store: MapStore, opt_kfs, fixed_kfs, cfg: SlamConfig, inv_sigma
     problem = ba.BAProblem(poses7=jnp.asarray(poses), points=jnp.asarray(points),
                            pt_valid=jnp.asarray(pt_valid), obs=obs,
                            pt_obs=jnp.asarray(pt_obs))
-    return AssembledBA(problem, opt_kfs, fixed_kfs, mp_ids, rows)
+    return AssembledBA(problem, opt_kfs, fixed_kfs, mp_ids, rows, n_opt=n_opt_b)
 
 
 def _write_back(store: MapStore, asm: AssembledBA, poses, points, chi2=None, chi2_th=5.991):
