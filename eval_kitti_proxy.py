@@ -36,6 +36,9 @@ def main():
     p.add_argument("--traj_out", default="")
     p.add_argument("--profile", action="store_true",
                    help="print the per-stage tracer report at the end")
+    p.add_argument("--viz_dir", default="",
+                   help="publish live visualization topics (asdslam_tpu/viz.py)")
+    p.add_argument("--viz_every", type=int, default=200)
     args = p.parse_args()
 
     import jax
@@ -74,12 +77,20 @@ def main():
                     descriptor_fn=descriptor_fn,
                     do_loop_closing=not args.no_loop_closing)
 
+    from asdslam_tpu import viz
+    if args.viz_dir:
+        viz.VisualizationSink.init(args.viz_dir)
+
     n = len(seq)
     t0 = time.time()
     for i in range(n):
         with system.tracer.span("render"):
             ts, img = seq[i]
         system.track_monocular(img, i)
+        if args.viz_dir and i and i % args.viz_every == 0:
+            viz.publish_map_snapshot(system.store)
+            viz.VisualizationSink.publish_image(
+                "map/topdown", viz.render_topdown(system.store))
         if i % 100 == 0:
             s = system.stats()
             print(f"frame {i}/{n} kfs={s['n_keyframes']} mps={s['n_map_points']} "
