@@ -385,8 +385,10 @@ class Tracker:
                 lc.pending = []
                 lc.prev_groups = []
                 lc.last_loop_kf = -10**9
+        tracer = self.tracer  # System-installed live tracer survives the reset
         self.__init__(self.cfg, self.K, self.extract, self.store,
                       self.local_mapper, localization_only=self.localization_only)
+        self.tracer = tracer
 
     # ------------------------------------------------------------------ #
     # Tracking
@@ -582,11 +584,69 @@ class Tracker:
             if not bool(res.success):
                 continue
             pose0 = np.asarray(se3.pose_pack(res.R, res.t))
-            if self._optimize_current(feat, cur_mp.copy(), pose0,
-                                      min(cfg.reloc_min_inliers, cfg.min_localmap_matches)):
+            if not self._optimize_current(feat, cur_mp.copy(), pose0, 10):
+                continue
+            # guided widening (Tracking.cc:1190-1240): a thin pose-opt result
+            # gets a WIDER SearchByProjection against the candidate KF's map
+            # points and a re-optimization — acceptance stays at 50 inliers,
+            # never relaxed.
+            if self.n_inliers < cfg.reloc_min_inliers:
+                n_add = self._reloc_widen(feat, int(c), radius=10.0,
+                                          max_dist=cfg.match_th_high)
+                if n_add + self.n_inliers >= cfg.reloc_min_inliers:
+                    self._optimize_current(feat, self.cur_mp, self.last_pose, 10)
+                    if 30 <= self.n_inliers < cfg.reloc_min_inliers:
+                        # second, narrower pass (window 3, tighter distance)
+                        self._reloc_widen(feat, int(c), radius=3.0,
+                                          max_dist=cfg.match_th_low * 2)
+                        self._optimize_current(feat, self.cur_mp,
+                                               self.last_pose, 10)
+            if self.n_inliers >= cfg.reloc_min_inliers:
                 self._prev_pose = None
                 return True
         return False
+
+    def _reloc_widen(self, feat, kf: int, radius: float, max_dist: float) -> int:
+        """Wider SearchByProjection of the candidate KF's map points through
+        the current pose estimate, binding matches into ``self.cur_mp`` for
+        features not already matched (the sFound-excluded re-search of
+        Tracking.cc:1190-1232).  Returns the number of NEW bindings."""
+        cfg = self.cfg
+        store = self.store
+        kf_mp = store.kf_mp[kf]
+        mps = np.unique(kf_mp[kf_mp >= 0])
+        mps = mps[store.mp_valid[mps]]
+        already = set(self.cur_mp[self.cur_mp >= 0].tolist())
+        mps = np.asarray([m for m in mps if m not in already], np.int64)
+        if len(mps) == 0:
+            return 0
+        P = cfg.local_ba_max_points
+        mps = mps[:P]
+        pad = P - len(mps)
+        mp_p = np.pad(mps, (0, pad), constant_values=0)
+        valid_a = np.pad(np.ones(len(mps), bool), (0, pad))
+        uv, pred_level, view_cos, vis = visibility.project_points(
+            jnp.asarray(self.last_pose), self.K,
+            jnp.asarray(store.mp_pos[mp_p]), jnp.asarray(store.mp_normal[mp_p]),
+            jnp.asarray(store.mp_min_dist[mp_p]), jnp.asarray(store.mp_max_dist[mp_p]),
+            jnp.asarray(valid_a), self._bx1, self._by1,
+            cfg.scale_factor, cfg.n_levels, min_view_cos=-1.0,
+            x_min=self._bx0, y_min=self._by0)
+        radii = radius * self.scale_factors[np.asarray(pred_level)]
+        idx, d, mok = match.search_projection(
+            jnp.asarray(store.mp_desc[mp_p]), feat.desc, uv, feat.uv_und,
+            vis, feat.valid, jnp.asarray(radii), max_dist,
+            ratio=1.0, pred_level_a=pred_level, levels_b=feat.level,
+            skip_b=jnp.asarray(self.cur_mp >= 0))
+        mok_np = np.asarray(mok)
+        idx_np = np.asarray(idx)
+        n_add = 0
+        for a in np.nonzero(mok_np)[0]:
+            f = int(idx_np[a])
+            if self.cur_mp[f] < 0:
+                self.cur_mp[f] = mp_p[a]
+                n_add += 1
+        return n_add
 
     # ---- local map ---------------------------------------------------- #
     def _track_local_map(self, feat) -> bool:

@@ -175,13 +175,24 @@ def render_boxes(pose7, K, bmin, bmax, salt, height: int, width: int,
     return_depth: also return the per-pixel ray-hit parameter t (distance
     along the unit-z-normalized camera ray; BIG where the sky is hit) —
     ground-truth correspondence supervision for descriptor training."""
-    from asdslam_tpu.geometry import se3
-    R, t = se3.pose_unpack(pose7)
-    c = -R.T @ t
     v, u = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
                         jnp.arange(width, dtype=jnp.float32), indexing="ij")
     xn = (u - K[0, 2]) / K[0, 0]
     yn = (v - K[1, 2]) / K[1, 1]
+    return raycast_grid(pose7, xn, yn, bmin, bmax, salt,
+                        tex_scale=tex_scale, return_depth=return_depth)
+
+
+@functools.partial(jax.jit, static_argnames=("return_depth",))
+def raycast_grid(pose7, xn, yn, bmin, bmax, salt,
+                 tex_scale: float = 0.35, return_depth: bool = False):
+    """Core ray-caster over an arbitrary normalized-coordinate grid
+    (xn, yn [H, W]): pinhole rendering passes the ideal grid; a DISTORTED
+    camera (EuRoC radtan, euroc_proxy.py) passes the undistorted-pixel grid
+    so the rendered image exhibits the real lens distortion."""
+    from asdslam_tpu.geometry import se3
+    R, t = se3.pose_unpack(pose7)
+    c = -R.T @ t
     d = jnp.einsum("ji,hwj->hwi", R, jnp.stack([xn, yn, jnp.ones_like(xn)], -1))
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
 
@@ -203,9 +214,9 @@ def render_boxes(pose7, K, bmin, bmax, salt, height: int, width: int,
         axis_best = jnp.where(hit, ax, axis_best)
         return (t_best, salt_best, axis_best), None
 
-    init = (jnp.full((height, width), BIG),
-            jnp.zeros((height, width), jnp.int32),
-            jnp.zeros((height, width), jnp.int32))
+    init = (jnp.full(xn.shape, BIG),
+            jnp.zeros(xn.shape, jnp.int32),
+            jnp.zeros(xn.shape, jnp.int32))
     (t_hit, salt_hit, axis_hit), _ = jax.lax.scan(
         body, init, (bmin, bmax, salt.astype(jnp.int32)))
 

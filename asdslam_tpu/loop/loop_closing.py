@@ -57,6 +57,11 @@ class LoopCloser:
         self.n_loops_closed = 0
         self.inv_sigma2 = np.asarray(cfg.inv_level_sigma2, np.float32)
         self.scale_factors = np.asarray(cfg.scale_factors, np.float32)
+        # detection-funnel counters: how many opportunities survive each gate
+        # (diagnosis artifact for loop recall — not in the reference)
+        self.counters = {"detect_calls": 0, "db_candidates": 0,
+                         "consistent": 0, "match_gate": 0, "ransac_pass": 0,
+                         "refine_pass": 0, "guided_pass": 0, "accepted": 0}
 
     # ------------------------------------------------------------------ #
     def process(self, kf: int):
@@ -70,10 +75,12 @@ class LoopCloser:
         if kf < self.last_loop_kf + cfg.loop_min_kfs_between or self.store.n_kf < 6:
             self.db.add(kf, self.kf_bow[kf])
             return
+        self.counters["detect_calls"] += 1
         cands = self._detect_loop(kf)
         self.db.add(kf, self.kf_bow[kf])
         for cand in cands:
             if self._compute_sim3_and_correct(kf, cand):
+                self.counters["accepted"] += 1
                 self.last_loop_kf = kf
                 self.n_loops_closed += 1
                 self.prev_groups = []
@@ -134,6 +141,7 @@ class LoopCloser:
         if not candidates:
             self.prev_groups = []
             return []
+        self.counters["db_candidates"] += len(candidates)
 
         # consistency groups (LoopClosing.cc:196-249)
         new_groups = []
@@ -148,6 +156,7 @@ class LoopCloser:
             if count + 1 >= cfg.loop_consistency_th:
                 accepted.append(c)
         self.prev_groups = new_groups
+        self.counters["consistent"] += len(accepted)
         return accepted
 
     # ------------------------------------------------------------------ #
@@ -167,6 +176,7 @@ class LoopCloser:
         idx_np = np.asarray(idx)
         if mok_np.sum() < cfg.sim3_ransac_min_inliers:
             return False
+        self.counters["match_gate"] += 1
 
         # matched map point 3D in each camera frame (fixed-shape arrays)
         N = cfg.n_features
@@ -192,6 +202,7 @@ class LoopCloser:
             iters=cfg.sim3_ransac_iters, min_inliers=cfg.sim3_ransac_min_inliers)
         if not bool(res.success):
             return False
+        self.counters["ransac_pass"] += 1
 
         s, R, t, inl = sim3_horn.refine_sim3(
             res.s, res.R, res.t, jnp.asarray(P1), jnp.asarray(P2),
@@ -200,6 +211,7 @@ class LoopCloser:
         n_inl = int(np.asarray(inl).sum())
         if n_inl < cfg.sim3_min_inliers:
             return False
+        self.counters["refine_pass"] += 1
 
         # bidirectional guided support check (ORBmatcher::SearchBySim3 via
         # LoopClosing::ComputeSim3, LoopClosing.cc:269-441): project the loop
@@ -232,6 +244,7 @@ class LoopCloser:
         total = max(n_inl, min(n_fwd, n_bwd))
         if total < cfg.loop_min_total_matches:
             return False
+        self.counters["guided_pass"] += 1
 
         self._correct_loop(kf, cand, S_ck, loop_mps)
         return True
@@ -299,26 +312,37 @@ class LoopCloser:
             tg_c = Rrel @ t_corr + trel * 1.0  # trel scales by rel scale (=1)
             corrected[g] = (sg, Rg_c, tg_c)
 
-        # correct map points of the group (through their observing KF pair)
-        done = set()
-        for g in group:
-            sg, Rg_c, tg_c = corrected[g]
-            _, Rg, tg = non_corrected[g]
-            mps = store.kf_mp[g]
-            mps = np.unique(mps[mps >= 0])
-            for m in mps:
-                if m in done or not store.mp_valid[m]:
-                    continue
-                done.add(m)
-                X = store.mp_pos[m]
-                xc = Rg @ X + tg                       # old camera coords
-                # X' = S_g_corr^{-1}(xc)
-                Xn = (Rg_c.T @ (xc - tg_c)) / sg
-                store.mp_pos[m] = Xn
+        # correct map points of the group — batched: each point is remapped
+        # through the FIRST group KF observing it (the reference's
+        # mnCorrectedByKF guard), all in a handful of einsums instead of a
+        # per-point Python loop.
+        Rg_all = np.stack([non_corrected[g][1] for g in group])
+        tg_all = np.stack([non_corrected[g][2] for g in group])
+        sg_all = np.asarray([corrected[g][0] for g in group], np.float32)
+        Rgc_all = np.stack([corrected[g][1] for g in group])
+        tgc_all = np.stack([corrected[g][2] for g in group])
+        mp_lists = [np.unique(store.kf_mp[g][store.kf_mp[g] >= 0]) for g in group]
+        all_m = (np.concatenate(mp_lists) if mp_lists
+                 else np.zeros(0, np.int64)).astype(np.int64)
+        owner = np.concatenate(
+            [np.full(len(l), gi, np.int64) for gi, l in enumerate(mp_lists)]
+        ) if mp_lists else np.zeros(0, np.int64)
+        _, first_idx = np.unique(all_m, return_index=True)  # first occurrence
+        m_sel, own = all_m[first_idx], owner[first_idx]
+        live = store.mp_valid[m_sel] if len(m_sel) else np.zeros(0, bool)
+        m_sel, own = m_sel[live], own[live]
+        if len(m_sel):
+            X = store.mp_pos[m_sel]
+            xc = np.einsum("mij,mj->mi", Rg_all[own], X) + tg_all[own]
+            # X' = S_g_corr^{-1}(xc)
+            store.mp_pos[m_sel] = np.einsum(
+                "mji,mj->mi", Rgc_all[own], xc - tgc_all[own]) / sg_all[own][:, None]
+        done = set(int(m) for m in m_sel)
+        for gi, g in enumerate(group):
             # update pose (fold scale into translation)
             pose = np.concatenate([
-                np.asarray(se3.matrix_to_quat(jnp.asarray(Rg_c))),
-                (tg_c / sg).astype(np.float32)])
+                np.asarray(se3.matrix_to_quat(jnp.asarray(Rgc_all[gi]))),
+                (tgc_all[gi] / sg_all[gi]).astype(np.float32)])
             store.set_kf_pose(g, pose)
 
         # fuse loop map points into the corrected group
@@ -463,17 +487,32 @@ class LoopCloser:
         cfg = self.cfg
         store = self.store
         K_kfs = store.n_kf
-        max_obs = min(cfg.local_ba_max_obs * 8, 262144)
         mp_ids = np.nonzero(store.mp_valid[:store.n_mp])[0]
         if len(mp_ids) == 0 or K_kfs < 3:
             return
         # vectorized observation-table assembly: one gather over the SoA
         # store instead of a per-row Python loop (O(100k) rows at KITTI scale)
         pt_row, kfs, feats = store.observation_rows(mp_ids)
-        if len(pt_row) > max_obs:
-            pt_row, kfs, feats = pt_row[:max_obs], kfs[:max_obs], feats[:max_obs]
+        # observation axis is BUCKETED (pow2) to the actual row count — no
+        # silent cap: KITTI-00 scale is ~300k rows and all of them are
+        # consumed.  The 4M guard is a pure OOM backstop far above any real
+        # sequence; tripping it is loudly logged.
+        max_obs_guard = 1 << 22
+        if len(pt_row) > max_obs_guard:
+            print(f"[loop_closing] global BA dropping "
+                  f"{len(pt_row) - max_obs_guard} of {len(pt_row)} observation "
+                  f"rows (memory guard {max_obs_guard})", flush=True)
+            pt_row, kfs, feats = (pt_row[:max_obs_guard], kfs[:max_obs_guard],
+                                  feats[:max_obs_guard])
         O = len(pt_row)
-        O_pad = max_obs
+
+        def pow2(n, lo=4096):
+            b = lo
+            while b < n:
+                b *= 2
+            return b
+
+        O_pad = pow2(O)
         cam_idx = np.zeros(O_pad, np.int32)
         pt_idx = np.zeros(O_pad, np.int32)
         uv = np.zeros((O_pad, 2), np.float32)
@@ -497,16 +536,10 @@ class LoopCloser:
                      uv=jnp.asarray(uv), inv_sigma2=jnp.asarray(inv_s2),
                      valid=jnp.asarray(valid))
 
-        def pow2(n):
-            b = 4
-            while b < n:
-                b *= 2
-            return b
-
         # gather tables turn the optimizer's segment reductions into
         # einsum-over-gathers (TPU scatters serialize; see global_ba)
-        kp = pow2(int(np.bincount(pt_idx[valid], minlength=1).max()))
-        kc = pow2(int(np.bincount(cam_idx[valid], minlength=1).max()))
+        kp = pow2(int(np.bincount(pt_idx[valid], minlength=1).max()), lo=4)
+        kc = pow2(int(np.bincount(cam_idx[valid], minlength=1).max()), lo=4)
         pt_tab = jnp.asarray(ba.build_pt_obs(pt_idx, valid, P, kp))
         cam_tab = jnp.asarray(ba.build_pt_obs(cam_idx, valid, K_kfs - 1, kc))
         poses_o, points_o, chi2 = global_ba.global_bundle_adjust(

@@ -51,6 +51,14 @@ def greedy_assignment(score: jnp.ndarray, valid: jnp.ndarray,
 
     score: [N, M] (higher better), valid: [N, M] admissible pairs.
     Returns (col_of_row [N] int32 with -1 for unassigned, assigned [N] bool).
+
+    Scope: each trip runs a full dense argmax, i.e. O(min(N, M) * N * M)
+    total — sized for aslam's engine-parity workloads (hundreds of
+    candidates), NOT for the 2000x2000 feature-matching hot path, which
+    uses ops/match.py's single-pass matchers.  If a hot path ever needs
+    one-to-one semantics, commit all row- AND column-wise maxima per trip
+    (mutual-best pairs are always safe to take together) to cut the trip
+    count to O(log) in practice.
     """
     N, M = score.shape
     trips = max_assignments or min(N, M)

@@ -67,10 +67,12 @@ def write_ply_points(path: str, xyz: np.ndarray,
     lines = ["ply", "format ascii 1.0", f"element vertex {len(xyz)}",
              "property float x", "property float y", "property float z"]
     if intensity is not None:
-        lines += ["property uchar red", "property uchar green",
-                  "property uchar blue"]
         g = np.clip(np.asarray(intensity, np.float32) * 255.0, 0, 255
                     ).astype(np.uint8)
+        assert len(g) == len(xyz), (
+            f"intensity length {len(g)} != point count {len(xyz)}")
+        lines += ["property uchar red", "property uchar green",
+                  "property uchar blue"]
     lines.append("end_header")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -239,11 +241,16 @@ def publish_map_snapshot(store, prefix: str = "map", min_covis_weight: int = 30)
 
 
 def render_topdown(store, size: int = 720, margin: float = 0.07,
-                   trajectory=None) -> np.ndarray:
+                   trajectory=None, min_covis_weight: int = 30,
+                   covis_segments=None) -> np.ndarray:
     """Rasterize a live top-down (x-z plane; KITTI y is down) map view:
     map points (gray), KF centres (white), covisibility edges (dim),
     current frame trajectory (bright polyline).  Pure numpy; returns
-    [size, size] uint8 — the headless stand-in for the RViz viewport."""
+    [size, size] uint8 — the headless stand-in for the RViz viewport.
+
+    min_covis_weight must match the value used by publish_map_snapshot for
+    the PLY edge set and the rendered view to agree; pass precomputed
+    ``covis_segments=(starts, ends)`` to avoid recomputing them twice."""
     img = np.zeros((size, size), np.float32)
     mps = store.mp_pos[store.mp_valid]
     kfc = store.kf_center[store.kf_valid]
@@ -267,7 +274,8 @@ def render_topdown(store, size: int = 720, margin: float = 0.07,
     if len(mps):
         u, v = to_px(mps[:, [0, 2]])
         np.add.at(img, (v, u), 0.35)
-    s, e = covisibility_segments(store)
+    s, e = (covis_segments if covis_segments is not None
+            else covisibility_segments(store, min_covis_weight))
     for a, b in zip(s, e):
         n = max(2, int(np.hypot(*(b - a)[[0, 2]] * scale)) + 1)
         seg = a[None, [0, 2]] + np.linspace(0, 1, n)[:, None] * (b - a)[None, [0, 2]]

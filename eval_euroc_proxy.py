@@ -1,18 +1,13 @@
 #!/usr/bin/env python3
-"""ATE evaluation on the KITTI proxy: full-resolution photoreal renders along
-the REAL KITTI ground-truth trajectory (asdslam_tpu/io/kitti_proxy.py),
-tracked end-to-end, scored with the reference's protocol (sim3 Umeyama
-alignment on all frames, ATE RMSE — experiment_result/*/eval_cfg.yaml:1-2).
-
-The reference numbers (BASELINE.md) are on the real imagery, so they are not
-directly comparable — this is the closest executable validation of the
-trajectory contract available in a zero-egress environment (no KITTI images),
-using real motion dynamics, real intrinsics, real resolution and metric
-scale.
+"""ATE evaluation on the EuRoC-analog proxy: aggressive 6-DoF MAV motion at
+752x480 through the REAL EuRoC cam0 radtan intrinsics
+(cameraconfig/MH_EUROC/EuRoC_config.txt), distortion active end-to-end —
+BASELINE config 3 (run_vslam_euroc.sh).  Same protocol as eval_kitti_proxy:
+sim3 Umeyama ATE RMSE over associated frames.
 
 Usage:
-  python eval_kitti_proxy.py --seq 03 --out ATE_r03.json
-  python eval_kitti_proxy.py --seq 03 --scale 0.5 --max_frames 200  # quick
+  python eval_euroc_proxy.py --out ATE_r04_euroc.json
+  python eval_euroc_proxy.py --frames 200 --scale 0.5   # quick
 """
 
 import argparse
@@ -25,20 +20,14 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--seq", default="03")
+    p.add_argument("--frames", type=int, default=1300)
     p.add_argument("--scale", type=float, default=1.0)
-    p.add_argument("--max_frames", type=int, default=0)
-    p.add_argument("--n_boxes", type=int, default=256)
     p.add_argument("--descriptor", choices=["asd", "patch", "orb"], default="patch")
     p.add_argument("--asdnet_weights", default="")
     p.add_argument("--no_loop_closing", action="store_true")
     p.add_argument("--out", default="")
     p.add_argument("--traj_out", default="")
-    p.add_argument("--profile", action="store_true",
-                   help="print the per-stage tracer report at the end")
-    p.add_argument("--viz_dir", default="",
-                   help="publish live visualization topics (asdslam_tpu/viz.py)")
-    p.add_argument("--viz_every", type=int, default=200)
+    p.add_argument("--profile", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -48,18 +37,18 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from asdslam_tpu.config import SlamConfig
-    from asdslam_tpu.io.kitti_proxy import KittiProxySequence
+    from asdslam_tpu.io.euroc_proxy import EurocProxySequence
     from asdslam_tpu.system import System
     from asdslam_tpu.utils import evaluate
 
-    seq = KittiProxySequence(args.seq, scale=args.scale, n_boxes=args.n_boxes,
-                             max_frames=args.max_frames or None)
+    seq = EurocProxySequence(n_frames=args.frames, scale=args.scale)
     base = SlamConfig()
     if args.scale < 1.0:
         base = base.replace(n_features=max(600, int(2000 * args.scale)),
                             n_levels=4 if args.scale <= 0.5 else 8,
                             local_ba_max_points=4096, local_ba_max_obs=16384)
     cfg = seq.config(base)
+    assert cfg.has_distortion
 
     descriptor_fn = None
     asdnet_params = None
@@ -77,44 +66,28 @@ def main():
                     descriptor_fn=descriptor_fn,
                     do_loop_closing=not args.no_loop_closing)
 
-    from asdslam_tpu import viz
-    if args.viz_dir:
-        viz.VisualizationSink.init(args.viz_dir)
-
     n = len(seq)
-    viz_traj = []
     t0 = time.time()
     for i in range(n):
         with system.tracer.span("render"):
             ts, img = seq[i]
-        pose = system.track_monocular(img, i)
-        if args.viz_dir and pose is not None:
-            from asdslam_tpu.mapping.map_store import _pose_np
-            R, t = _pose_np(pose)
-            viz_traj.append(-R.T @ t)
-        if args.viz_dir and i and i % args.viz_every == 0:
-            viz.publish_map_snapshot(system.store)
-            viz.VisualizationSink.publish_image(
-                "map/topdown", viz.render_topdown(system.store,
-                                                  trajectory=viz_traj))
+        system.track_monocular(img, i)
         if i % 100 == 0:
             s = system.stats()
             print(f"frame {i}/{n} kfs={s['n_keyframes']} mps={s['n_map_points']} "
                   f"state={s['state']} {(i + 1) / (time.time() - t0):.1f} fps",
                   flush=True)
     wall = time.time() - t0
-    # separate rendering (proxy-world synthesis — not part of the SLAM
-    # system) from tracking wall time: fps_tracking is the honest e2e
-    # system number, fps the raw loop wall-clock including rendering
     render_s = system.tracer.spans.get("render")
     render_s = render_s.total if render_s else 0.0
 
     est = evaluate.camera_centers(system.frame_trajectory())
-    gt = evaluate.camera_centers(
-        [(i, seq.gt_pose7[i]) for i in range(n)])
+    gt = evaluate.camera_centers([(i, seq.gt_pose7[i]) for i in range(n)])
     e, g = evaluate.associate_by_id(est, gt)
     result = {
-        "seq": args.seq, "scale": args.scale, "frames": n,
+        "dataset": "euroc_proxy", "frames": n, "scale": args.scale,
+        "resolution": [seq.width, seq.height],
+        "distortion": list(seq.dist),
         "tracked": len(system.frame_trajectory()),
         "matched_gt": len(e),
         "keyframes": system.stats()["n_keyframes"],
@@ -131,12 +104,9 @@ def main():
         result["loop_funnel"] = system.loop_closer.counters
     if len(e) >= 10:
         result["ate_sim3_m"] = round(float(evaluate.ate_rmse(e, g, align="sim3")), 3)
-        result["ate_se3_m"] = round(float(evaluate.ate_rmse(e, g, align="se3")), 3)
-        ids = sorted(set(est) & set(gt))
-        result["drift"] = evaluate.drift_analysis(e, g, ids=ids)
     if args.profile:
         print(system.tracer.report(), flush=True)
-    print(json.dumps({k: v for k, v in result.items() if k != "drift"}))
+    print(json.dumps(result))
     if args.traj_out:
         system.save_trajectory_tum(args.traj_out,
                                    {i: seq.timestamps[i] for i in range(n)})

@@ -42,16 +42,25 @@ def run_distributed(mesh, problem):
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
     from asdslam_tpu.parallel import dist
-    from asdslam_tpu.backend import ba
 
     poses0, pts0, cam_idx, pt_idx, uv, inv_s2, valid = problem
     K = jnp.array([[500.0, 0.0, 320.0], [0.0, 500.0, 240.0], [0.0, 0.0, 1.0]])
+    # point-major layout is deterministic numpy on replicated host data, so
+    # every process builds identical shards and donates its local ones
+    n_dev = mesh.devices.size
+    (pts_pm, cam_o, pt_o, uv_o, s2_o, va_o, _) = dist.layout_point_major(
+        pts0, cam_idx, pt_idx, uv, inv_s2, valid, n_dev)
     rep = lambda x: dist.shard_to_mesh(mesh, x, P())
     shd = lambda x: dist.shard_to_mesh(mesh, x, P("data"))
-    obs = ba.Obs(cam_idx=shd(cam_idx), pt_idx=shd(pt_idx), uv=shd(uv),
-                 inv_sigma2=shd(inv_s2), valid=shd(valid))
-    return dist.distributed_ba_step(mesh, rep(poses0), rep(pts0), obs, None,
-                                    K, n_opt=3)
+    new_poses, new_pts = dist.distributed_ba_step_pm(
+        mesh, rep(poses0), shd(pts_pm), shd(cam_o), shd(pt_o), shd(uv_o),
+        shd(s2_o), shd(va_o), K, n_opt=3)
+    # result fetch: one final all-gather so every process can materialize the
+    # sharded point output (NOT part of the per-iteration communication)
+    import jax
+    from jax.sharding import NamedSharding
+    new_pts = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))(new_pts)
+    return new_poses, new_pts[:len(pts0)]
 
 
 def main():

@@ -51,3 +51,45 @@ class TestLocalizationMode:
         e1, e2 = evaluate.associate_by_id(est1, est2)
         err = np.linalg.norm(e1 - e2, axis=1)
         assert np.median(err) < 0.05, np.median(err)
+
+
+class TestRelocAcceptance:
+    """Relocalization acceptance parity (Tracking.cc:1190-1240): a candidate
+    that can only ever produce < 50 inliers must be REJECTED — the reference
+    widens the search and re-optimizes but never relaxes the 50-inlier bar.
+    (A previous build accepted at min(reloc_min_inliers, 30).)"""
+
+    def test_thin_map_reloc_rejected_rich_map_accepted(self, tmp_path):
+        cfg = small_config()
+        K = jnp.array([[cfg.fx, 0, cfg.cx], [0, cfg.fy, cfg.cy], [0, 0, 1.0]])
+        scene = synthetic.Scene(back_z=-8.0, front_z=20.0)
+        frames, poses = synthetic.render_sequence(
+            K, n_frames=30, height=cfg.image_height, width=cfg.image_width,
+            step=0.25, turn=0.004, scene=scene)
+        sys1 = System(cfg, descriptor_fn=patch_descriptor.apply)
+        for i in range(30):
+            sys1.track_monocular(frames[i], i)
+        path = os.path.join(tmp_path, "chamo.map")
+        sys1.save_map(path)
+
+        sys2 = System(cfg, descriptor_fn=patch_descriptor.apply,
+                      localization_mode=True)
+        sys2.load_map(path)
+        tr = sys2.tracker
+        feat = tr.extract(frames[5])
+
+        # rich map: relocalization succeeds AND satisfies the 50-inlier bar
+        assert tr._relocalize(feat)
+        assert tr.n_inliers >= cfg.reloc_min_inliers, tr.n_inliers
+
+        # thin map: keep only 40 of one KF's points — matches exist (>30
+        # possible) but 50 inliers are unreachable, so reloc must fail
+        store = sys2.store
+        kf_mp = store.kf_mp[0]
+        keep = np.unique(kf_mp[kf_mp >= 0])
+        keep = keep[store.mp_valid[keep]][:40]
+        mask = np.zeros_like(store.mp_valid)
+        mask[keep] = True
+        store.mp_valid[:] = mask
+        tr.n_inliers = 0
+        assert not tr._relocalize(feat)

@@ -61,6 +61,80 @@ class TestDistributedBA:
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=5e-3)
         np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=2e-2)
 
+    def test_comm_payload_independent_of_point_count(self):
+        """The point-major design contract (dist.py module docstring):
+        per-iteration collective payload is O(C^2), independent of the point
+        and observation counts.  Verified on the compiled HLO: the total
+        all-reduce element count is IDENTICAL for 64 and 1024 points and
+        bounded by the camera-block sizes."""
+        import re
+        mesh = dist.make_mesh(8)
+        n_opt = 3
+
+        def allreduce_elems(n_pts):
+            _, _, poses0, pts0, obs = make_problem(jax.random.PRNGKey(0),
+                                                   n_pts=n_pts)
+            pts_pm, cam_o, pt_o, uv_o, s2_o, va_o, _ = dist.layout_point_major(
+                np.asarray(pts0), np.asarray(obs.cam_idx),
+                np.asarray(obs.pt_idx), np.asarray(obs.uv),
+                np.asarray(obs.inv_sigma2), np.asarray(obs.valid), 8)
+            fn = dist.make_pm_step(mesh, n_opt)
+            txt = fn.lower(jnp.asarray(poses0), jnp.asarray(pts_pm),
+                           jnp.asarray(cam_o), jnp.asarray(pt_o),
+                           jnp.asarray(uv_o), jnp.asarray(s2_o),
+                           jnp.asarray(va_o), K).compile().as_text()
+            total = 0
+            for line in txt.splitlines():
+                if "all-reduce(" not in line and "all-reduce-start(" not in line:
+                    continue
+                for shp in re.findall(r"f32\[([\d,]*)\]", line):
+                    n = 1
+                    for x in shp.split(","):
+                        if x:
+                            n *= int(x)
+                    total += n
+            return total
+
+        e_small = allreduce_elems(64)
+        e_big = allreduce_elems(1024)
+        assert e_small > 0, "no all-reduce found in HLO (parse failure?)"
+        assert e_small == e_big, (e_small, e_big)
+        # camera blocks only: S [C,C,6,6] + Hcc [C,6,6] + gc + gp_red, with
+        # 4x slack for result/operand double-counting in the HLO text
+        bound = 4 * (n_opt * n_opt * 36 + n_opt * 36 + 2 * n_opt * 6)
+        assert e_small <= bound, (e_small, bound)
+
+    def test_layout_point_major_roundtrip(self):
+        """Every valid observation survives the re-layout, lands on the
+        device owning its point, and reindexes consistently."""
+        rng = np.random.default_rng(0)
+        Pn, O, n_dev = 37, 500, 8
+        pts = rng.standard_normal((Pn, 3)).astype(np.float32)
+        pt_idx = rng.integers(0, Pn, O).astype(np.int32)
+        cam_idx = rng.integers(0, 5, O).astype(np.int32)
+        uv = rng.standard_normal((O, 2)).astype(np.float32)
+        s2 = rng.uniform(0.5, 2.0, O).astype(np.float32)
+        valid = rng.random(O) < 0.9
+        pts_pm, cam_o, pt_o, uv_o, s2_o, va_o, Pn_pad = dist.layout_point_major(
+            pts, cam_idx, pt_idx, uv, s2, valid, n_dev)
+        assert Pn_pad % n_dev == 0 and Pn_pad >= Pn
+        np.testing.assert_allclose(pts_pm[:Pn], pts)
+        Pl = Pn_pad // n_dev
+        Ol = len(cam_o) // n_dev
+        seen = []
+        for d in range(n_dev):
+            sl = slice(d * Ol, (d + 1) * Ol)
+            v = va_o[sl]
+            # local indices in range, and global ids owned by this device
+            assert (pt_o[sl][v] >= 0).all() and (pt_o[sl][v] < Pl).all()
+            glob = pt_o[sl][v] + d * Pl
+            assert ((glob // Pl) == d).all()
+            seen.extend(zip(glob.tolist(), cam_o[sl][v].tolist(),
+                            uv_o[sl][v][:, 0].tolist()))
+        orig = list(zip(pt_idx[valid].tolist(), cam_idx[valid].tolist(),
+                        uv[valid][:, 0].tolist()))
+        assert sorted(seen) == sorted(orig)
+
     def test_dp_descriptors(self):
         from asdslam_tpu.models import asdnet
         mesh = dist.make_mesh(8)
