@@ -139,31 +139,33 @@ class LocalMapper:
         Q = cfg.triangulation_neighbors
         keep = keep[:Q]
         pad = Q - len(keep)
-        zero_feat = store.kf_features[keep[0]]
-        nb_desc = jnp.stack([store.kf_features[k].desc for k in keep]
-                            + [zero_feat.desc] * pad)
-        nb_uv = jnp.stack([store.kf_features[k].uv_und for k in keep]
-                          + [zero_feat.uv_und] * pad)
-        nb_level = jnp.stack([store.kf_features[k].level for k in keep]
-                             + [zero_feat.level] * pad)
-        nb_free = np.zeros((Q, store.n_feat), bool)
-        for qi, k in enumerate(keep):
-            nb_free[qi] = (store.kf_mp[k] < 0) & store.kf_host[k].valid
-        nb_R = np.zeros((Q, 3, 3), np.float32)
-        nb_t = np.zeros((Q, 3), np.float32)
-        nb_R[:] = np.eye(3)
-        for qi, k in enumerate(keep):
-            nb_R[qi], nb_t[qi] = _pose_np(store.kf_pose[k])
+        with self.tracer.span("upload"):
+            zero_feat = store.kf_features[keep[0]]
+            nb_desc = jnp.stack([store.kf_features[k].desc for k in keep]
+                                + [zero_feat.desc] * pad)
+            nb_uv = jnp.stack([store.kf_features[k].uv_und for k in keep]
+                              + [zero_feat.uv_und] * pad)
+            nb_level = jnp.stack([store.kf_features[k].level for k in keep]
+                                 + [zero_feat.level] * pad)
+            nb_free = np.zeros((Q, store.n_feat), bool)
+            for qi, k in enumerate(keep):
+                nb_free[qi] = (store.kf_mp[k] < 0) & store.kf_host[k].valid
+            nb_R = np.zeros((Q, 3, 3), np.float32)
+            nb_t = np.zeros((Q, 3), np.float32)
+            nb_R[:] = np.eye(3)
+            for qi, k in enumerate(keep):
+                nb_R[qi], nb_t[qi] = _pose_np(store.kf_pose[k])
+            free1 = (store.kf_mp[kf1] < 0) & h1.valid
 
-        free1 = (store.kf_mp[kf1] < 0) & h1.valid
-        idx, good, X = mapping_kernels.triangulate_neighbors(
-            f1.desc, f1.uv_und, f1.level, jnp.asarray(free1),
-            nb_desc, nb_uv, nb_level, jnp.asarray(nb_free),
-            jnp.asarray(nb_R), jnp.asarray(nb_t),
-            jnp.asarray(R1), jnp.asarray(t1), self.K,
-            jnp.asarray(self.inv_sigma2),
-            max_dist=cfg.match_th_low * 2, ratio=0.9, fmean=fmean)
-        idx, good, X = jax.device_get((idx, good, X))  # single host sync
+        with self.tracer.span("kernel"):
+            idx, good, X = mapping_kernels.triangulate_neighbors(
+                f1.desc, f1.uv_und, f1.level, jnp.asarray(free1),
+                nb_desc, nb_uv, nb_level, jnp.asarray(nb_free),
+                jnp.asarray(nb_R), jnp.asarray(nb_t),
+                jnp.asarray(R1), jnp.asarray(t1), self.K,
+                jnp.asarray(self.inv_sigma2),
+                max_dist=cfg.match_th_low * 2, ratio=0.9, fmean=fmean)
+            idx, good, X = jax.device_get((idx, good, X))  # single host sync
 
         new_points = []
         desc1 = h1.desc
@@ -199,19 +201,28 @@ class LocalMapper:
         store = self.store
         Q = 2 * 10  # fixed pair capacity (10 neighbours, both directions)
         pairs = pairs[:Q]
-        # a source KF observes at most n_feat points, so the per-pair block
-        # needs only n_feat rows (local_ba_max_points quadrupled the upload
-        # and matmul cost for nothing)
-        P = min(cfg.local_ba_max_points, cfg.n_features)
+        # a source KF observes at most n_feat points; the block's point axis
+        # is BUCKETED (pow2) to the largest per-pair count — typical KFs
+        # observe a few hundred points, and the desc upload is the dominant
+        # KF-rate host->device cost, so paying the 2000-row worst case every
+        # call quadruples the bytes for nothing
+        P_cap = min(cfg.local_ba_max_points, cfg.n_features)
+        per_pair = []
+        for (src_kf, dst_kf) in pairs:
+            mps = store.kf_mp[src_kf]
+            mps = np.unique(mps[mps >= 0])
+            per_pair.append(mps[store.mp_valid[mps]][:P_cap])
+        P = 256
+        while P < max((len(m) for m in per_pair), default=1) and P < P_cap:
+            P *= 2
+        P = min(P, P_cap)
 
         mp_blocks = np.zeros((Q, P), np.int64)
         mp_valid = np.zeros((Q, P), bool)
         dst_pose = np.zeros((Q, 7), np.float32)
         dst_pose[:, 0] = 1.0
         for qi, (src_kf, dst_kf) in enumerate(pairs):
-            mps = store.kf_mp[src_kf]
-            mps = np.unique(mps[mps >= 0])
-            mps = mps[store.mp_valid[mps]][:P]
+            mps = per_pair[qi][:P]
             mp_blocks[qi, :len(mps)] = mps
             mp_valid[qi, :len(mps)] = True
             dst_pose[qi] = store.kf_pose[dst_kf]
@@ -221,23 +232,28 @@ class LocalMapper:
         for qi in range(len(pairs), Q):
             mp_valid[qi] = False
 
-        idx, ok = mapping_kernels.fuse_pairs(
-            jnp.asarray(store.mp_pos[mp_blocks]),
-            jnp.asarray(store.mp_normal[mp_blocks]),
-            jnp.asarray(store.mp_min_dist[mp_blocks]),
-            jnp.asarray(store.mp_max_dist[mp_blocks]),
-            jnp.asarray(store.mp_desc[mp_blocks]),
-            jnp.asarray(mp_valid),
-            jnp.asarray(dst_pose),
-            jnp.stack([f.desc for f in dst_feats]),
-            jnp.stack([f.uv_und for f in dst_feats]),
-            jnp.stack([f.level for f in dst_feats]),
-            jnp.stack([f.valid for f in dst_feats]),
-            self.K, jnp.asarray(self.scale_factors),
-            width=float(cfg.image_width), height=float(cfg.image_height),
-            scale_factor=cfg.scale_factor, n_levels=cfg.n_levels,
-            fuse_radius=cfg.fuse_radius, max_dist=cfg.match_th_high)
-        idx, ok = jax.device_get((idx, ok))  # single host sync
+        with self.tracer.span("upload"):
+            # descriptors ship bf16: the matcher's MXU matmul casts to bf16
+            # anyway, and the desc block is the dominant upload byte count
+            blocks = (jnp.asarray(store.mp_pos[mp_blocks]),
+                      jnp.asarray(store.mp_normal[mp_blocks]),
+                      jnp.asarray(store.mp_min_dist[mp_blocks]),
+                      jnp.asarray(store.mp_max_dist[mp_blocks]),
+                      jnp.asarray(store.mp_desc[mp_blocks], jnp.bfloat16),
+                      jnp.asarray(mp_valid),
+                      jnp.asarray(dst_pose),
+                      jnp.stack([f.desc for f in dst_feats]),
+                      jnp.stack([f.uv_und for f in dst_feats]),
+                      jnp.stack([f.level for f in dst_feats]),
+                      jnp.stack([f.valid for f in dst_feats]))
+        with self.tracer.span("kernel"):
+            idx, ok = mapping_kernels.fuse_pairs(
+                *blocks,
+                self.K, jnp.asarray(self.scale_factors),
+                width=float(cfg.image_width), height=float(cfg.image_height),
+                scale_factor=cfg.scale_factor, n_levels=cfg.n_levels,
+                fuse_radius=cfg.fuse_radius, max_dist=cfg.match_th_high)
+            idx, ok = jax.device_get((idx, ok))  # single host sync
 
         for qi, (src_kf, dst_kf) in enumerate(pairs):
             for a in np.nonzero(ok[qi])[0]:
@@ -329,12 +345,16 @@ class LocalMapper:
             fixed.append(window.pop())
         if len(fixed) < 2 or not window:
             return
-        asm = _assemble_ba(store, window, fixed, cfg, self.inv_sigma2,
-                           bucket_cams=True)
+        with self.tracer.span("assemble"):
+            asm = _assemble_ba(store, window, fixed, cfg, self.inv_sigma2,
+                               bucket_cams=True)
         if asm is None:
             return
-        poses, points, chi2 = ba.bundle_adjust(
-            asm.problem, self.K, n_opt=asm.n_opt,
-            iters=cfg.local_ba_iters1 + cfg.local_ba_iters2)
-        _write_back(store, asm, np.asarray(poses), np.asarray(points),
-                    np.asarray(chi2), chi2_th=cfg.chi2_mono)
+        with self.tracer.span("solve"):
+            poses, points, chi2 = ba.bundle_adjust(
+                asm.problem, self.K, n_opt=asm.n_opt,
+                iters=cfg.local_ba_iters1 + cfg.local_ba_iters2)
+            poses, points, chi2 = jax.device_get((poses, points, chi2))
+        with self.tracer.span("write_back"):
+            _write_back(store, asm, poses, points, chi2,
+                        chi2_th=cfg.chi2_mono)

@@ -82,10 +82,13 @@ def fuse_pairs(
     """Projection fuse of map-point blocks into destination keyframes
     (SearchInNeighbors, LocalMapping.cc:557-656), all pairs in one program.
 
-    mp_*: [Q, P, ...] per-pair source map-point blocks.
+    mp_*: [Q, P, ...] per-pair source map-point blocks.  mp_desc may arrive
+    bf16 (halved upload bytes; values re-widened here so all non-MXU math
+    stays f32 — the quantization is far below the match thresholds).
     dst_*: [Q, N, ...] per-pair destination keyframe features; dst_pose7 [Q, 7].
     Returns (idx [Q, P], ok [Q, P]).
     """
+    mp_desc = mp_desc.astype(jnp.float32)
 
     def one(pos, normal, mind, maxd, desc, valid, pose7, d_desc, d_uv,
             d_level, d_valid):

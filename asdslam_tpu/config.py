@@ -91,9 +91,13 @@ class SlamConfig:
     loop_gba_iters: int = 10          # RunGlobalBundleAdjustment(10)
     huber_delta: float = 2.447        # sqrt(5.991), Huber kernel in local BA
 
-    # Static capacities for local BA windows (TPU fixed shapes)
-    local_ba_max_kfs: int = 16        # optimised cameras per local BA
-    local_ba_max_fixed: int = 16      # fixed anchor cameras
+    # Static capacities for local BA windows (TPU fixed shapes).  The
+    # reference optimizes the FULL covisible set with all other observers
+    # fixed (Optimizer.cc:415-735, no cap); 32/32 covers the dense-revisit
+    # windows of KITTI 00/02/08 where a 16-KF cap cut the window in half —
+    # power-of-two bucketing means small windows never pay for the cap.
+    local_ba_max_kfs: int = 32        # optimised cameras per local BA
+    local_ba_max_fixed: int = 32      # fixed anchor cameras
     local_ba_max_points: int = 8192
     local_ba_max_obs: int = 32768
 

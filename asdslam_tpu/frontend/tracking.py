@@ -107,11 +107,14 @@ class Tracker:
                     self._save_frame(feat, frame_id, tracked=True)
                     self.last_mp = self.cur_mp.copy()
             else:
-                self._try_initialize(feat, frame_id)
+                with self.tracer.span("initialize"):
+                    self._try_initialize(feat, frame_id)
         elif self.state == OK:
-            self._track(feat, frame_id)
+            with self.tracer.span("staged_track"):
+                self._track(feat, frame_id)
         else:  # LOST: relocalize (Tracking::Relocalization, Tracking.cc:1095-1266)
-            ok = self._relocalize(feat) or self._track_reference_kf(feat)
+            with self.tracer.span("relocalize"):
+                ok = self._relocalize(feat) or self._track_reference_kf(feat)
             if ok:
                 self.state = OK
                 self._after_pose(feat, frame_id)
@@ -198,7 +201,7 @@ class Tracker:
             normal=jnp.asarray(store.mp_normal[safe]),
             min_dist=jnp.asarray(store.mp_min_dist[safe]),
             max_dist=jnp.asarray(store.mp_max_dist[safe]),
-            desc=jnp.asarray(store.mp_desc[safe]),
+            desc=jnp.asarray(store.mp_desc[safe], jnp.bfloat16),
             valid=jnp.asarray(cand_valid & store.mp_valid[safe]))
         self._cand_ids = cand_p
         self.ref_kf = ref_kf
@@ -221,19 +224,21 @@ class Tracker:
         has = last_mp >= 0
         bound = last_mp[has & store.mp_valid[np.where(has, last_mp, 0)]]
         if self._device_cand is None:
-            if not self._build_cand_block(bound):
-                return None, False
+            with self.tracer.span("cand_upload"):
+                if not self._build_cand_block(bound):
+                    return None, False
         prev_geom = self._device_geom
         if prev_geom is None:
             prev_geom = self._build_prev_geom()
         cand_bound = jnp.asarray(np.isin(self._cand_ids, bound))
 
-        feat, res = self._fused(
-            jnp.asarray(image), jnp.asarray(self.last_pose),
-            jnp.asarray(self.velocity), self.last_feat, prev_geom,
-            self._device_cand, cand_bound)
-        small = jax.device_get((res.pose, res.velocity, res.src,
-                                res.n_motion, res.n_track, res.n_inliers))
+        with self.tracer.span("kernel"):
+            feat, res = self._fused(
+                jnp.asarray(image), jnp.asarray(self.last_pose),
+                jnp.asarray(self.velocity), self.last_feat, prev_geom,
+                self._device_cand, cand_bound)
+            small = jax.device_get((res.pose, res.velocity, res.src,
+                                    res.n_motion, res.n_track, res.n_inliers))
         pose, velocity, src, n_motion, n_track, n_in = small
         n_motion, n_track, n_in = int(n_motion), int(n_track), int(n_in)
         if (n_motion < cfg.min_motion_matches
@@ -265,7 +270,8 @@ class Tracker:
         self._save_frame(feat, frame_id, tracked=True)
         self.last_mp = cur_mp.copy()
         if not self.localization_only and self._need_new_kf(frame_id):
-            self._create_new_kf(feat, frame_id)
+            with self.tracer.span("create_kf"):
+                self._create_new_kf(feat, frame_id)
         return feat, True
 
     # ------------------------------------------------------------------ #
@@ -284,13 +290,14 @@ class Tracker:
             return
 
         f0 = self._init_feat
-        idx, d, ok = match.search_window(
-            f0.desc, feat.desc, f0.uv_und, feat.uv_und, f0.valid, feat.valid,
-            radius=cfg.init_search_window, max_dist=cfg.match_th_low * 2,
-            ratio=0.9, angles_a=f0.angle, angles_b=feat.angle,
-            check_rotation=True,
-        )
-        n_matches = int(np.asarray(ok).sum())
+        with self.tracer.span("match"):
+            idx, d, ok = match.search_window(
+                f0.desc, feat.desc, f0.uv_und, feat.uv_und, f0.valid, feat.valid,
+                radius=cfg.init_search_window, max_dist=cfg.match_th_low * 2,
+                ratio=0.9, angles_a=f0.angle, angles_b=feat.angle,
+                check_rotation=True,
+            )
+            n_matches = int(np.asarray(ok).sum())
         if n_matches < cfg.init_min_matches:
             self._init_feat = None
             return
@@ -299,12 +306,14 @@ class Tracker:
         uv1 = f0.uv_und
         uv2 = feat.uv_und[idx]
         self._rng, sub = jax.random.split(self._rng)
-        res = twoview.initialize_two_view(
-            sub, uv1, uv2, ok, self.K,
-            sigma=cfg.init_sigma, iters=cfg.init_ransac_iters,
-            min_triangulated=cfg.init_min_triangulated,
-        )
-        if not bool(res.success):
+        with self.tracer.span("twoview"):
+            res = twoview.initialize_two_view(
+                sub, uv1, uv2, ok, self.K,
+                sigma=cfg.init_sigma, iters=cfg.init_ransac_iters,
+                min_triangulated=cfg.init_min_triangulated,
+            )
+            success = bool(res.success)
+        if not success:
             return
 
         good = np.asarray(res.good)
@@ -315,39 +324,42 @@ class Tracker:
         pose2 = np.asarray(se3.pose_pack(jnp.asarray(R), jnp.asarray(t)))
 
         store = self.store
-        kf0 = store.add_keyframe(pose1, self._init_frame_id, f0)
-        kf1 = store.add_keyframe(pose2, frame_id, feat)
-        store.kf_parent[kf1] = kf0
+        with self.tracer.span("map_build"):
+            kf0 = store.add_keyframe(pose1, self._init_frame_id, f0)
+            kf1 = store.add_keyframe(pose2, frame_id, feat)
+            store.kf_parent[kf1] = kf0
 
-        pts = np.asarray(res.points)
-        desc2 = np.asarray(feat.desc)
-        cur_mp = np.full(self.cfg.n_features, -1, np.int32)
-        for i in np.nonzero(good)[0]:
-            m = store.add_map_point(pts[i], desc2[idx_np[i]], kf0)
-            store.add_observation(m, kf0, int(i))
-            store.add_observation(m, kf1, int(idx_np[i]))
-            cur_mp[idx_np[i]] = m
+            pts = np.asarray(res.points)
+            desc2 = np.asarray(feat.desc)
+            cur_mp = np.full(self.cfg.n_features, -1, np.int32)
+            for i in np.nonzero(good)[0]:
+                m = store.add_map_point(pts[i], desc2[idx_np[i]], kf0)
+                store.add_observation(m, kf0, int(i))
+                store.add_observation(m, kf1, int(idx_np[i]))
+                cur_mp[idx_np[i]] = m
 
         # full BA on the initial map (GlobalBundleAdjustemnt(20), Tracking.cc:535)
-        self._initial_ba(kf0, kf1)
+        with self.tracer.span("init_ba"):
+            self._initial_ba(kf0, kf1)
 
         # scale so median depth of KF0 = 1 (Tracking.cc:539-565)
-        mps = store.local_map_points([kf0])
-        if len(mps) == 0:
-            return
-        depths = store.mp_pos[mps][:, 2]
-        med = float(np.median(depths))
-        if med < 1e-6:
-            self._reset()
-            return
-        store.mp_pos[store.mp_valid, :] /= med
-        for k in (kf0, kf1):
-            p = store.kf_pose[k].copy()
-            p[4:] /= med
-            store.set_kf_pose(k, p)  # also refreshes the kf_center table
-        for m in mps:
-            store.compute_distinctive_descriptor(m)
-        store.update_normals_batch(np.asarray(mps, np.int64), self.scale_factors)
+        with self.tracer.span("rescale"):
+            mps = store.local_map_points([kf0])
+            if len(mps) == 0:
+                return
+            depths = store.mp_pos[mps][:, 2]
+            med = float(np.median(depths))
+            if med < 1e-6:
+                self._reset()
+                return
+            store.mp_pos[store.mp_valid, :] /= med
+            for k in (kf0, kf1):
+                p = store.kf_pose[k].copy()
+                p[4:] /= med
+                store.set_kf_pose(k, p)  # also refreshes the kf_center table
+            for m in mps:
+                store.compute_distinctive_descriptor(m)
+            store.update_normals_batch(np.asarray(mps, np.int64), self.scale_factors)
 
         self.state = OK
         self.last_feat = feat
@@ -433,7 +445,8 @@ class Tracker:
         self._save_frame(feat, frame_id, tracked=True)
         self.last_mp = self.cur_mp.copy()
         if not self.localization_only and self._need_new_kf(frame_id):
-            self._create_new_kf(feat, frame_id)
+            with self.tracer.span("create_kf"):
+                self._create_new_kf(feat, frame_id)
 
     def _save_frame(self, feat, frame_id, tracked: bool):
         self.last_feat = feat
@@ -634,7 +647,7 @@ class Tracker:
             x_min=self._bx0, y_min=self._by0)
         radii = radius * self.scale_factors[np.asarray(pred_level)]
         idx, d, mok = match.search_projection(
-            jnp.asarray(store.mp_desc[mp_p]), feat.desc, uv, feat.uv_und,
+            jnp.asarray(store.mp_desc[mp_p], jnp.bfloat16), feat.desc, uv, feat.uv_und,
             vis, feat.valid, jnp.asarray(radii), max_dist,
             ratio=1.0, pred_level_a=pred_level, levels_b=feat.level,
             skip_b=jnp.asarray(self.cur_mp >= 0))
@@ -693,7 +706,7 @@ class Tracker:
             radii = cfg.search_radius_local * self.scale_factors[np.asarray(pred_level)]
             skip_b = jnp.asarray(cur_mp >= 0)
             idx, d, mok = match.search_projection(
-                jnp.asarray(store.mp_desc[cand_p]), feat.desc, uv, feat.uv_und,
+                jnp.asarray(store.mp_desc[cand_p], jnp.bfloat16), feat.desc, uv, feat.uv_und,
                 vis, feat.valid, jnp.asarray(radii), cfg.match_th_high,
                 ratio=0.8, pred_level_a=pred_level, levels_b=feat.level,
                 skip_b=skip_b,

@@ -62,6 +62,8 @@ class LoopCloser:
         self.counters = {"detect_calls": 0, "db_candidates": 0,
                          "consistent": 0, "match_gate": 0, "ransac_pass": 0,
                          "refine_pass": 0, "guided_pass": 0, "accepted": 0}
+        from asdslam_tpu.utils.tracing import Tracer
+        self.tracer = Tracer(enabled=False)  # System installs a live one
 
     # ------------------------------------------------------------------ #
     def process(self, kf: int):
@@ -71,15 +73,19 @@ class LoopCloser:
             if len(self.pending) >= self.vocab_min_kfs:
                 self._train_vocab()
             return
-        self._add_kf_bow(kf)
+        with self.tracer.span("bow"):
+            self._add_kf_bow(kf)
         if kf < self.last_loop_kf + cfg.loop_min_kfs_between or self.store.n_kf < 6:
             self.db.add(kf, self.kf_bow[kf])
             return
         self.counters["detect_calls"] += 1
-        cands = self._detect_loop(kf)
+        with self.tracer.span("detect"):
+            cands = self._detect_loop(kf)
         self.db.add(kf, self.kf_bow[kf])
         for cand in cands:
-            if self._compute_sim3_and_correct(kf, cand):
+            with self.tracer.span("sim3"):
+                ok = self._compute_sim3_and_correct(kf, cand)
+            if ok:
                 self.counters["accepted"] += 1
                 self.last_loop_kf = kf
                 self.n_loops_closed += 1
@@ -105,13 +111,15 @@ class LoopCloser:
         else:
             reps = -(-CAP // len(D))
             D = np.tile(D, (reps, 1))[:CAP]
-        self.vocab = vocab_mod.train_vocab(
-            jax.random.PRNGKey(11), jnp.asarray(D),
-            branching=self.cfg.vocab_branching, depth=self.cfg.vocab_depth)
+        with self.tracer.span("vocab_train"):
+            self.vocab = vocab_mod.train_vocab(
+                jax.random.PRNGKey(11), jnp.asarray(D),
+                branching=self.cfg.vocab_branching, depth=self.cfg.vocab_depth)
         self.db = KeyFrameDatabase(self.cfg, self.vocab.n_words, self.store.max_kfs)
-        for kf in self.pending:
-            self._add_kf_bow(kf)
-            self.db.add(kf, self.kf_bow[kf])
+        with self.tracer.span("vocab_index"):
+            for kf in self.pending:
+                self._add_kf_bow(kf)
+                self.db.add(kf, self.kf_bow[kf])
         self.pending = []
 
     def _add_kf_bow(self, kf: int):
@@ -274,7 +282,7 @@ class LoopCloser:
             x_min=bx0, y_min=by0)
         radii = 10.0 * self.scale_factors[np.asarray(pred_level)]
         idx, d, ok = match.search_projection(
-            jnp.asarray(store.mp_desc[mp_p]), f1.desc, uv, f1.uv_und,
+            jnp.asarray(store.mp_desc[mp_p], jnp.bfloat16), f1.desc, uv, f1.uv_und,
             vis, f1.valid, jnp.asarray(radii), cfg.match_th_high, ratio=1.0)
         return int(np.asarray(ok).sum())
 
@@ -346,16 +354,19 @@ class LoopCloser:
             store.set_kf_pose(g, pose)
 
         # fuse loop map points into the corrected group
-        for g in group:
-            self._fuse_mps_into_kf(loop_mps, g)
+        with self.tracer.span("fuse"):
+            for g in group:
+                self._fuse_mps_into_kf(loop_mps, g)
 
         # essential graph optimization
-        self._optimize_essential_graph(kf, cand, corrected, non_corrected)
+        with self.tracer.span("essential_graph"):
+            self._optimize_essential_graph(kf, cand, corrected, non_corrected)
         store.loop_edges.append((kf, cand))
 
         # global BA
         if self.run_global_ba:
-            self._global_ba()
+            with self.tracer.span("gba"):
+                self._global_ba()
 
         # refresh normals/descriptors
         store.update_normals_batch(
@@ -384,7 +395,7 @@ class LoopCloser:
             x_min=bx0, y_min=by0)
         radii = cfg.fuse_radius * self.scale_factors[np.asarray(pred_level)]
         idx, d, ok = match.search_projection(
-            jnp.asarray(store.mp_desc[mp_p]), fd.desc, uv, fd.uv_und,
+            jnp.asarray(store.mp_desc[mp_p], jnp.bfloat16), fd.desc, uv, fd.uv_und,
             vis, fd.valid, jnp.asarray(radii), cfg.match_th_high, ratio=1.0)
         ok_np = np.asarray(ok)
         idx_np = np.asarray(idx)

@@ -36,8 +36,10 @@ def distance_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     dot (~1e-2 absolute worst case) is far below the match thresholds
     (TH_LOW=0.5 / TH_HIGH=1.5 on distances in [0, 2]); the norm terms stay
     f32."""
-    a2 = jnp.sum(a * a, axis=-1, keepdims=True)
-    b2 = jnp.sum(b * b, axis=-1, keepdims=True)
+    af = a.astype(jnp.float32)   # inputs may ship bf16 (upload halving)
+    bf = b.astype(jnp.float32)
+    a2 = jnp.sum(af * af, axis=-1, keepdims=True)
+    b2 = jnp.sum(bf * bf, axis=-1, keepdims=True)
     ab = jnp.dot(a.astype(jnp.bfloat16), b.T.astype(jnp.bfloat16),
                  preferred_element_type=jnp.float32)
     return jnp.maximum(a2 + b2.T - 2.0 * ab, 0.0)

@@ -68,6 +68,8 @@ class System:
         self.tracer = Tracer()
         self.tracker.tracer = self.tracer
         self.local_mapper.tracer = self.tracer
+        if self.loop_closer is not None:
+            self.loop_closer.tracer = self.tracer
 
     def track_monocular(self, image, frame_id: int) -> Optional[np.ndarray]:
         """image: [H, W] — float32 in [0, 1] or uint8 in [0, 255] (uint8

@@ -25,6 +25,8 @@ def main():
     p.add_argument("--descriptor", choices=["asd", "patch", "orb"], default="patch")
     p.add_argument("--asdnet_weights", default="")
     p.add_argument("--no_loop_closing", action="store_true")
+    p.add_argument("--voc_addr", default="",
+                   help="offline vocabulary .npz (train_vocab.py)")
     p.add_argument("--out", default="")
     p.add_argument("--traj_out", default="")
     p.add_argument("--profile", action="store_true")
@@ -65,6 +67,9 @@ def main():
     system = System(cfg, asdnet_params=asdnet_params,
                     descriptor_fn=descriptor_fn,
                     do_loop_closing=not args.no_loop_closing)
+    if args.voc_addr and system.loop_closer is not None:
+        from asdslam_tpu.loop import vocab as vocab_mod
+        system.loop_closer.vocab = vocab_mod.load_vocab(args.voc_addr)
 
     n = len(seq)
     t0 = time.time()

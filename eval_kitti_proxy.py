@@ -32,6 +32,12 @@ def main():
     p.add_argument("--descriptor", choices=["asd", "patch", "orb"], default="patch")
     p.add_argument("--asdnet_weights", default="")
     p.add_argument("--no_loop_closing", action="store_true")
+    p.add_argument("--voc_addr", default="",
+                   help="offline vocabulary .npz (train_vocab.py) — skips "
+                        "the online k-means training, reference --voc_addr "
+                        "parity")
+    p.add_argument("--save_voc", default="",
+                   help="save the (online-trained) vocabulary here at the end")
     p.add_argument("--out", default="")
     p.add_argument("--traj_out", default="")
     p.add_argument("--profile", action="store_true",
@@ -76,6 +82,9 @@ def main():
     system = System(cfg, asdnet_params=asdnet_params,
                     descriptor_fn=descriptor_fn,
                     do_loop_closing=not args.no_loop_closing)
+    if args.voc_addr and system.loop_closer is not None:
+        from asdslam_tpu.loop import vocab as vocab_mod
+        system.loop_closer.vocab = vocab_mod.load_vocab(args.voc_addr)
 
     from asdslam_tpu import viz
     if args.viz_dir:
@@ -140,6 +149,10 @@ def main():
     if args.traj_out:
         system.save_trajectory_tum(args.traj_out,
                                    {i: seq.timestamps[i] for i in range(n)})
+    if args.save_voc and system.loop_closer is not None \
+            and system.loop_closer.vocab is not None:
+        from asdslam_tpu.loop import vocab as vocab_mod
+        vocab_mod.save_vocab(system.loop_closer.vocab, args.save_voc)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)
