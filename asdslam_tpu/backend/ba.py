@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from asdslam_tpu.geometry import se3
+from asdslam_tpu.estimators.linalg import inv3x3, chol_solve_small
 
 CHI2_MONO = 5.991
 
@@ -145,7 +146,7 @@ def pose_only_optimize(
             H = jnp.einsum("oki,o,okj->ij", Jc, w, Jc)
             g = jnp.einsum("oki,o,ok->i", Jc, w, r)
             Hd = H + lam * jnp.diag(jnp.diagonal(H)) + 1e-9 * jnp.eye(6)
-            dx = -jnp.linalg.solve(Hd, g)
+            dx = -chol_solve_small(Hd, g)
             cand = se3.pose_retract(pose, dx)
             new_cost = cost_fn(cand)
             accept = new_cost < cost
@@ -275,7 +276,7 @@ def bundle_adjust(
         Hcc = Hcc + lam * dcc[:, :, None] * jnp.eye(6)[None]
         dpp = jnp.maximum(jnp.diagonal(Hpp, axis1=1, axis2=2), 1e-6)
         Hpp_d = Hpp + lam * dpp[:, :, None] * jnp.eye(3)[None] + 1e-8 * jnp.eye(3)[None]
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        Hpp_inv = inv3x3(Hpp_d)
         Hpp_inv = jnp.where(pt_w[:, None, None], Hpp_inv, 0.0)
 
         # W blocks per observation: [O, 6, 3]
@@ -316,7 +317,12 @@ def bundle_adjust(
         rhs = gc - rhs_acc
 
         S_red = S_red + 1e-8 * jnp.eye(n_opt * 6)
-        dc = -jnp.linalg.solve(S_red, rhs.reshape(-1)).reshape(n_opt, 6)
+        # S_red is SPD (damped Schur complement of an SPD system): Cholesky
+        # instead of LU — no pivoting loops on TPU.  A numerically indefinite
+        # edge case yields NaN dc -> the LM candidate is simply rejected.
+        dc = -jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(S_red, lower=True),
+            rhs.reshape(-1)).reshape(n_opt, 6)
 
         # back-substitute points: dp = -Hpp^-1 (gp + W^T dc), gathered
         dc_k = dc[cam_p] * cam_is_opt[..., None]                  # [P, K, 6]

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from asdslam_tpu.geometry import se3
+from asdslam_tpu.estimators.linalg import inv3x3
 from asdslam_tpu.backend import ba
 
 
@@ -102,7 +103,7 @@ def global_bundle_adjust(
         Hcc_d = Hcc + lam * dcc[:, :, None] * jnp.eye(6)[None]
         dpp = jnp.maximum(jnp.diagonal(Hpp, axis1=1, axis2=2), 1e-6)
         Hpp_d = Hpp + lam * dpp[:, :, None] * jnp.eye(3)[None] + 1e-8 * jnp.eye(3)[None]
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        Hpp_inv = inv3x3(Hpp_d)
         Hpp_inv = jnp.where(pt_w[:, None, None], Hpp_inv, 0.0)
 
         def schur_matvec(v):

@@ -40,8 +40,11 @@ class SlamConfig:
     descriptor_dim: int = 128         # ASD output dim (ASDNet.py:331-370)
     # Fused Pallas matcher for the hot projection searches (ops/pallas_match):
     # computes distance tiles in VMEM instead of materializing the [N, M]
-    # matrix in HBM.  Off by default pending per-shape benchmarking.
-    use_pallas_match: bool = False
+    # matrix in HBM.  ON by default: the r4 A/B on the real chip measures
+    # 1.17x (motion 2000x2000) / 1.14x (local-map 8192x2000) over the jnp
+    # distance-matrix path (BENCH_MATCH_r04.json; both paths needed the
+    # explicit bf16 DEFAULT-precision fix to compile/run at MXU rate).
+    use_pallas_match: bool = True
 
     # ------------------------------------------------------------------ #
     # Matching (ref: src/vslam/src/ORBmatcher.cc:37-39)

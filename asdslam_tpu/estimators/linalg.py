@@ -22,6 +22,59 @@ def _normalize(v):
     return v / jnp.clip(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
 
 
+def inv3x3(A, eps: float = 1e-12):
+    """Closed-form batched 3x3 inverse (adjugate / determinant).
+
+    `jnp.linalg.inv` lowers to an LU factorization whose pivoting loops
+    SERIALIZE on TPU — for the [P, 3, 3] landmark blocks inverted every LM
+    iteration of bundle adjustment that was the single largest cost of the
+    whole solve.  The adjugate form is ~30 fully-parallel elementwise ops."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co00 = e * i - f * h
+    co01 = c * h - b * i
+    co02 = b * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h - e * g
+    co21 = b * g - a * h
+    co22 = a * e - b * d
+    det = a * co00 + b * co10 + c * co20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < eps, eps, det)
+    adj = jnp.stack([jnp.stack([co00, co01, co02], -1),
+                     jnp.stack([co10, co11, co12], -1),
+                     jnp.stack([co20, co21, co22], -1)], -2)
+    return adj * inv_det[..., None, None]
+
+
+def chol_solve_small(A, b, jitter: float = 0.0):
+    """Batched SPD solve A x = b for SMALL fixed n (<= ~8) via a Cholesky
+    UNROLLED at trace time: every step is an elementwise op over the batch,
+    so nothing serializes on TPU (LAPACK-style factorizations run pivot
+    loops).  A: [..., n, n] SPD, b: [..., n] -> x [..., n]."""
+    n = A.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[..., i, j] - sum((L[i][k] * L[j][k] for k in range(j)),
+                                   start=jnp.zeros(A.shape[:-2], A.dtype))
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s + jitter, 1e-20))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * n
+    for i in range(n):
+        y[i] = (b[..., i] - sum((L[i][k] * y[k] for k in range(i)),
+                                start=jnp.zeros(A.shape[:-2], A.dtype))) / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        x[i] = (y[i] - sum((L[k][i] * x[k] for k in range(i + 1, n)),
+                           start=jnp.zeros(A.shape[:-2], A.dtype))) / L[i][i]
+    return jnp.stack(x, -1)
+
+
 def null_vector(A, iters: int = 12, eps: float = 1e-7):
     """Unit vector x minimizing |A x| for batched A [..., m, n] (m >= n-1).
 

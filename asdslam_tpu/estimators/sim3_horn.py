@@ -111,7 +111,7 @@ def refine_sim3(s0, R0, t0, P1, P2, uv1, uv2, valid, K,
             J = J.at[..., 6].set(0.0)
         H = jnp.einsum("oki,o,okj->ij", J, w2, J) + (lam + 1e-8) * jnp.eye(7)
         g = jnp.einsum("oki,o,ok->i", J, w2, r)
-        dx = -jnp.linalg.solve(H, g)
+        dx = -linalg.chol_solve_small(H, g)
         if fix_scale:
             dx = dx.at[6].set(0.0)
         cand = sim3m.retract(packed, dx)
@@ -237,7 +237,7 @@ def optimize_sim3_align(X_src, X_dst, valid, iters: int = 20,
         J = jax.jacfwd(r_of)(jnp.zeros(7))
         r_w = (r * w_h[:, None]).reshape(-1)
         H = J.T @ J + 1e-8 * jnp.eye(7)
-        dx = -jnp.linalg.solve(H, J.T @ r_w)
+        dx = -linalg.chol_solve_small(H, J.T @ r_w)
         from asdslam_tpu.geometry import se3 as se3m
         R_new = se3m.so3_exp(dx[:3]) @ R
         return (s * jnp.exp(dx[6]), R_new, t + dx[3:6]), None

@@ -89,12 +89,16 @@ def input_norm(x):
 
 
 def _conv(x, w, stride, padding):
+    # precision=DEFAULT explicitly: the package-wide matmul_precision=highest
+    # (set for f32 geometry) must not force multi-pass emulation on the
+    # deliberately-bf16 conv path
     return jax.lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
 
 

@@ -40,8 +40,12 @@ def distance_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     bf = b.astype(jnp.float32)
     a2 = jnp.sum(af * af, axis=-1, keepdims=True)
     b2 = jnp.sum(bf * bf, axis=-1, keepdims=True)
+    # precision=DEFAULT explicitly: the package-wide
+    # jax_default_matmul_precision=highest (set for f32 geometry) would
+    # otherwise force multi-pass emulation on this deliberately-bf16 dot
     ab = jnp.dot(a.astype(jnp.bfloat16), b.T.astype(jnp.bfloat16),
-                 preferred_element_type=jnp.float32)
+                 preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.DEFAULT)
     return jnp.maximum(a2 + b2.T - 2.0 * ab, 0.0)
 
 
@@ -206,8 +210,13 @@ def search_projection(
     skip_b: bool [M] features to exclude (already matched).
     use_pallas: route the best/second search through the fused VMEM kernel
     (ops/pallas_match.masked_nn) instead of the HBM distance matrix —
-    numerics verified identical by tests/test_pallas_match.py.
+    numerics verified identical by tests/test_pallas_match.py.  Mosaic
+    kernels only exist on the TPU backend, so the flag is ignored on CPU
+    (the virtual-device test mesh) rather than forced through the slow
+    interpreter.
     Returns (match_idx [N], dist [N], valid [N])."""
+    if use_pallas and jax.default_backend() != "tpu":
+        use_pallas = False
     if use_pallas:
         from asdslam_tpu.ops import pallas_match
         vb = valid_b if skip_b is None else (valid_b & ~skip_b)

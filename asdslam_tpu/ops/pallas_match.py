@@ -45,8 +45,12 @@ def _kernel(a_ref, bt_ref, ainfo_ref, binfo_ref, best_ref, sec_ref, idx_ref,
     a = a_ref[:]   # (TN, D) bf16
     bt = bt_ref[:]  # (D, TM) bf16 — pre-transposed so the MXU sees a plain
     # (1, 0) contraction (Mosaic rejects bf16 dots contracting dim 1 of both)
+    # precision must be DEFAULT explicitly: the package sets
+    # jax_default_matmul_precision=highest for f32 geometry, and Mosaic
+    # rejects (and the MXU cannot natively run) fp32-precision bf16 dots
     ab = jax.lax.dot_general(
-        a, bt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        a, bt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
     ai = ainfo_ref[:]  # (TN, 8) f32 rows: [|a|^2, x, y, rad^2, valid, level, -, -]
     bi = binfo_ref[:]  # (8, TM) f32 cols: [|b|^2, x, y, valid, level, -, -, -]
 

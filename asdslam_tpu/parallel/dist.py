@@ -34,6 +34,7 @@ from jax.experimental.shard_map import shard_map
 
 from asdslam_tpu.geometry import se3
 from asdslam_tpu.backend import ba
+from asdslam_tpu.estimators.linalg import inv3x3
 
 
 def make_mesh(n_devices: int, axis: str = "data") -> Mesh:
@@ -188,7 +189,7 @@ def make_pm_step(mesh: Mesh, n_opt: int, lam: float = 1e-4):
         Hcc_d = Hcc + lam * dcc[:, :, None] * jnp.eye(6)[None]
         dpp = jnp.maximum(jnp.diagonal(Hpp, axis1=1, axis2=2), 1e-6)
         Hpp_d = Hpp + lam * dpp[:, :, None] * jnp.eye(3)[None] + 1e-8 * jnp.eye(3)[None]
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        Hpp_inv = inv3x3(Hpp_d)
 
         # Schur reduction: per-point per-camera aggregates are local; the
         # contraction over LOCAL points gives this device's S contribution,

@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--base_lr", type=float, default=0.5)
     ap.add_argument("--phototour", default="", help="local PhotoTour dir")
+    ap.add_argument("--pairs_cache", default="",
+                    help="npz path: cache/reuse the generated pair pools")
     ap.add_argument("--out", default="asdnet_weights.pkl")
     ap.add_argument("--report", default="")
     args = ap.parse_args()
@@ -62,14 +64,24 @@ def main():
         pool_a, pool_p = np.asarray(pool_a), np.asarray(pool_p)
         eval_a, eval_p = np.asarray(eval_a), np.asarray(eval_p)
     else:
-        from asdslam_tpu.models.proxy_pairs import ProxyPairSource
-        src = ProxyPairSource(args.seq, scale=args.scale)
-        t0 = time.time()
-        pool_a, pool_p = src.sample(args.pool)
-        # held-out pairs from a DIFFERENT part of the trajectory
-        src2 = ProxyPairSource(args.seq, scale=args.scale, seed=99)
-        eval_a, eval_p = src2.sample(args.eval_pairs)
-        print(f"pair generation: {time.time() - t0:.0f}s", flush=True)
+        cache = args.pairs_cache
+        if cache and os.path.exists(cache):
+            z = np.load(cache)
+            pool_a, pool_p = z["pool_a"], z["pool_p"]
+            eval_a, eval_p = z["eval_a"], z["eval_p"]
+            print(f"loaded {len(pool_a)} cached pairs from {cache}", flush=True)
+        else:
+            from asdslam_tpu.models.proxy_pairs import ProxyPairSource
+            src = ProxyPairSource(args.seq, scale=args.scale)
+            t0 = time.time()
+            pool_a, pool_p = src.sample(args.pool)
+            # held-out pairs from a DIFFERENT part of the trajectory
+            src2 = ProxyPairSource(args.seq, scale=args.scale, seed=99)
+            eval_a, eval_p = src2.sample(args.eval_pairs)
+            print(f"pair generation: {time.time() - t0:.0f}s", flush=True)
+            if cache:
+                np.savez_compressed(cache, pool_a=pool_a, pool_p=pool_p,
+                                    eval_a=eval_a, eval_p=eval_p)
 
     # per-patch standardization mirrors inference (asdnet input whitening)
     params = asdnet.init_params(jax.random.PRNGKey(0))
