@@ -36,13 +36,16 @@ def make_dp_track_step(cfg: SlamConfig, K, extract_fn, mesh: Mesh,
     step = track_step_mod.make_track_step(cfg, K, extract_fn)
     batched = jax.vmap(step)
 
-    shard = NamedSharding(mesh, P(axis))
+    # shard_map, not vmap + sharding constraints: with constraints the SPMD
+    # partitioner is free to re-shard intermediates (it inserts small
+    # all-gathers inside top_k), while shard_map runs each device's
+    # sub-batch as a fully local program — zero collectives BY CONSTRUCTION
+    # (the dryrun asserts this on the compiled HLO).
+    from jax.experimental.shard_map import shard_map
 
-    @jax.jit
-    def run(imgs, poses, velocities, prev_feats, prev_geom, cand_pts):
-        args = (imgs, poses, velocities, prev_feats, prev_geom, cand_pts)
-        args = jax.tree.map(
-            lambda x: jax.lax.with_sharding_constraint(x, shard), args)
-        return batched(*args)
-
+    spec = P(axis)
+    run = jax.jit(shard_map(
+        batched, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec, spec),
+        out_specs=spec, check_rep=False))
     return run
