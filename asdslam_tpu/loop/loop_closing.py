@@ -62,6 +62,7 @@ class LoopCloser:
         self.counters = {"detect_calls": 0, "db_candidates": 0,
                          "consistent": 0, "match_gate": 0, "ransac_pass": 0,
                          "refine_pass": 0, "guided_pass": 0, "accepted": 0}
+        self.accepted_log: List[tuple] = []   # (kf, cand, frame_id of kf)
         from asdslam_tpu.utils.tracing import Tracer
         self.tracer = Tracer(enabled=False)  # System installs a live one
 
@@ -87,6 +88,8 @@ class LoopCloser:
                 ok = self._compute_sim3_and_correct(kf, cand)
             if ok:
                 self.counters["accepted"] += 1
+                self.accepted_log.append(
+                    (int(kf), int(cand), int(self.store.kf_frame_id[kf])))
                 self.last_loop_kf = kf
                 self.n_loops_closed += 1
                 self.prev_groups = []

@@ -45,6 +45,8 @@ def main():
     p.add_argument("--viz_dir", default="",
                    help="publish live visualization topics (asdslam_tpu/viz.py)")
     p.add_argument("--viz_every", type=int, default=200)
+    p.add_argument("--local_ba_kfs", type=int, default=0,
+                   help="override local-BA window caps (A/B experiments)")
     args = p.parse_args()
 
     import jax
@@ -66,6 +68,9 @@ def main():
                             n_levels=4 if args.scale <= 0.5 else 8,
                             local_ba_max_points=4096, local_ba_max_obs=16384)
     cfg = seq.config(base)
+    if args.local_ba_kfs:
+        cfg = cfg.replace(local_ba_max_kfs=args.local_ba_kfs,
+                          local_ba_max_fixed=args.local_ba_kfs)
 
     descriptor_fn = None
     asdnet_params = None
@@ -138,11 +143,27 @@ def main():
     }
     if system.loop_closer is not None:
         result["loop_funnel"] = system.loop_closer.counters
+        result["loop_events"] = [
+            {"kf": k, "cand": c, "frame": fr}
+            for (k, c, fr) in system.loop_closer.accepted_log]
     if len(e) >= 10:
         result["ate_sim3_m"] = round(float(evaluate.ate_rmse(e, g, align="sim3")), 3)
         result["ate_se3_m"] = round(float(evaluate.ate_rmse(e, g, align="se3")), 3)
         ids = sorted(set(est) & set(gt))
         result["drift"] = evaluate.drift_analysis(e, g, ids=ids)
+    # reference protocol: ATE over the FINAL keyframe trajectory (all
+    # optimizations applied — the reference's stamped_traj_estimate rows are
+    # keyframe poses, n=1202 for seq 00; System::SaveKeyFrameTrajectoryTUM).
+    # The live frame-trajectory ATE above is the STRICTER number (poses as
+    # tracked, before later loop corrections could rewrite history).
+    est_kf = evaluate.camera_centers(system.keyframe_trajectory())
+    ekf, gkf = evaluate.associate_by_id(est_kf, gt)
+    result["keyframe_poses"] = len(ekf)
+    if len(ekf) >= 10:
+        result["ate_kf_sim3_m"] = round(
+            float(evaluate.ate_rmse(ekf, gkf, align="sim3")), 3)
+        kf_ids = sorted(set(est_kf) & set(gt))
+        result["drift_kf"] = evaluate.drift_analysis(ekf, gkf, ids=kf_ids)
     if args.profile:
         print(system.tracer.report(), flush=True)
     print(json.dumps({k: v for k, v in result.items() if k != "drift"}))

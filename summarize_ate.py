@@ -19,8 +19,15 @@ def summarize(path):
           f"{r['keyframes']} KFs, {r['map_points']} MPs, "
           f"{r.get('loops_closed', 0)} loops, ATE {ate} m ({pct:.2f}% of "
           f"{pl} m), fps {r.get('fps')} (tracking {r.get('fps_tracking')})")
+    if "ate_kf_sim3_m" in r:
+        print(f"  KEYFRAME-trajectory ATE (reference protocol, "
+              f"n={r.get('keyframe_poses')}): {r['ate_kf_sim3_m']} m "
+              f"({100.0 * r['ate_kf_sim3_m'] / pl:.2f}%)")
     if "loop_funnel" in r:
         print(f"  loop funnel: {r['loop_funnel']}")
+    if r.get("loop_events"):
+        print(f"  loops at frames: "
+              f"{[ev['frame'] for ev in r['loop_events']]}")
     d = r.get("drift")
     if d:
         print(f"  global sim3 scale {d['global_scale']}, max local-scale dev "
