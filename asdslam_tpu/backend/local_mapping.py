@@ -39,6 +39,7 @@ class LocalMapper:
         self.loop_closer = loop_closer
         self.inv_sigma2 = np.asarray(cfg.inv_level_sigma2, np.float32)
         self.scale_factors = np.asarray(cfg.scale_factors, np.float32)
+        self._desc_dtype = jnp.bfloat16 if cfg.desc_upload_bf16 else jnp.float32
         self.recent: List[Tuple[int, int]] = []  # (mp, created_at_kf)
         from asdslam_tpu.utils.tracing import Tracer
         self.tracer = Tracer(enabled=False)  # System installs a live one
@@ -239,7 +240,7 @@ class LocalMapper:
                       jnp.asarray(store.mp_normal[mp_blocks]),
                       jnp.asarray(store.mp_min_dist[mp_blocks]),
                       jnp.asarray(store.mp_max_dist[mp_blocks]),
-                      jnp.asarray(store.mp_desc[mp_blocks], jnp.bfloat16),
+                      jnp.asarray(store.mp_desc[mp_blocks], self._desc_dtype),
                       jnp.asarray(mp_valid),
                       jnp.asarray(dst_pose),
                       jnp.stack([f.desc for f in dst_feats]),
@@ -333,15 +334,22 @@ class LocalMapper:
                 if kf2 not in window_set and kf2 not in fixed:
                     fixed.append(int(kf2))
         fixed = fixed[:cfg.local_ba_max_fixed]
-        # gauge: monocular BA needs >= 2 fixed cameras or scale collapses
-        # (one fixed camera pins translation/rotation but leaves the scale
-        # gauge free — observed as runaway map shrinkage).  The reference
-        # gets this implicitly from its unbounded local window + KF0 fixing
-        # (Optimizer.cc:462-476).
+        # gauge: monocular BA needs enough FIXED cameras or the scale gauge
+        # drifts (one fixed camera pins translation/rotation but leaves the
+        # scale gauge free — observed as runaway map shrinkage).  The
+        # reference gets anchors implicitly: its window is the covisible set
+        # and every OTHER observer is fixed (Optimizer.cc:462-476).  With a
+        # wide window in a dense-covisibility revisit region, the window can
+        # swallow nearly every observer, leaving 1-2 weak anchors — the
+        # r4 full-scale seq-00 run showed exactly that failure as recurring
+        # window-local scale collapse (drift_kf windows with local scale
+        # 0.19/310).  Guarantee anchors >= max(2, |window|/4) by demoting
+        # the weakest-covisibility window KFs to fixed.
         if 0 in window and 0 not in fixed:
             window.remove(0)
             fixed.append(0)
-        while len(fixed) < 2 and len(window) > 1:
+        min_anchors = max(2, len(window) // 4)
+        while len(fixed) < min_anchors and len(window) > 1:
             fixed.append(window.pop())
         if len(fixed) < 2 or not window:
             return

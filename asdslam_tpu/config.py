@@ -38,6 +38,10 @@ class SlamConfig:
     # Descriptor type: 128-float ASD (learned) or 256-bit ORB (use_orb flag)
     use_orb: bool = False             # --use_orb
     descriptor_dim: int = 128         # ASD output dim (ASDNet.py:331-370)
+    # Ship map-point descriptors to the device as bf16 (halves the dominant
+    # KF-rate upload; the MXU matmul computes in bf16 either way).  Toggle
+    # for A/B attribution of association-quality effects.
+    desc_upload_bf16: bool = True
     # Fused Pallas matcher for the hot projection searches (ops/pallas_match):
     # computes distance tiles in VMEM instead of materializing the [N, M]
     # matrix in HBM.  ON by default: the r4 A/B on the real chip measures

@@ -51,6 +51,7 @@ class Tracker:
 
         self.scale_factors = np.asarray(cfg.scale_factors, np.float32)
         self.inv_sigma2 = np.asarray(cfg.inv_level_sigma2, np.float32)
+        self._desc_dtype = jnp.bfloat16 if cfg.desc_upload_bf16 else jnp.float32
         # frustum bounds from undistorted corners (Frame.cc:330-358)
         self._bx0, self._bx1, self._by0, self._by1 = cfg.undistorted_bounds
 
@@ -201,7 +202,7 @@ class Tracker:
             normal=jnp.asarray(store.mp_normal[safe]),
             min_dist=jnp.asarray(store.mp_min_dist[safe]),
             max_dist=jnp.asarray(store.mp_max_dist[safe]),
-            desc=jnp.asarray(store.mp_desc[safe], jnp.bfloat16),
+            desc=jnp.asarray(store.mp_desc[safe], self._desc_dtype),
             valid=jnp.asarray(cand_valid & store.mp_valid[safe]))
         self._cand_ids = cand_p
         self.ref_kf = ref_kf
@@ -647,7 +648,7 @@ class Tracker:
             x_min=self._bx0, y_min=self._by0)
         radii = radius * self.scale_factors[np.asarray(pred_level)]
         idx, d, mok = match.search_projection(
-            jnp.asarray(store.mp_desc[mp_p], jnp.bfloat16), feat.desc, uv, feat.uv_und,
+            jnp.asarray(store.mp_desc[mp_p], self._desc_dtype), feat.desc, uv, feat.uv_und,
             vis, feat.valid, jnp.asarray(radii), max_dist,
             ratio=1.0, pred_level_a=pred_level, levels_b=feat.level,
             skip_b=jnp.asarray(self.cur_mp >= 0))
@@ -706,7 +707,7 @@ class Tracker:
             radii = cfg.search_radius_local * self.scale_factors[np.asarray(pred_level)]
             skip_b = jnp.asarray(cur_mp >= 0)
             idx, d, mok = match.search_projection(
-                jnp.asarray(store.mp_desc[cand_p], jnp.bfloat16), feat.desc, uv, feat.uv_und,
+                jnp.asarray(store.mp_desc[cand_p], self._desc_dtype), feat.desc, uv, feat.uv_und,
                 vis, feat.valid, jnp.asarray(radii), cfg.match_th_high,
                 ratio=0.8, pred_level_a=pred_level, levels_b=feat.level,
                 skip_b=skip_b,

@@ -57,6 +57,7 @@ class LoopCloser:
         self.n_loops_closed = 0
         self.inv_sigma2 = np.asarray(cfg.inv_level_sigma2, np.float32)
         self.scale_factors = np.asarray(cfg.scale_factors, np.float32)
+        self._desc_dtype = jnp.bfloat16 if cfg.desc_upload_bf16 else jnp.float32
         # detection-funnel counters: how many opportunities survive each gate
         # (diagnosis artifact for loop recall — not in the reference)
         self.counters = {"detect_calls": 0, "db_candidates": 0,
@@ -285,7 +286,7 @@ class LoopCloser:
             x_min=bx0, y_min=by0)
         radii = 10.0 * self.scale_factors[np.asarray(pred_level)]
         idx, d, ok = match.search_projection(
-            jnp.asarray(store.mp_desc[mp_p], jnp.bfloat16), f1.desc, uv, f1.uv_und,
+            jnp.asarray(store.mp_desc[mp_p], self._desc_dtype), f1.desc, uv, f1.uv_und,
             vis, f1.valid, jnp.asarray(radii), cfg.match_th_high, ratio=1.0)
         return int(np.asarray(ok).sum())
 
@@ -398,7 +399,7 @@ class LoopCloser:
             x_min=bx0, y_min=by0)
         radii = cfg.fuse_radius * self.scale_factors[np.asarray(pred_level)]
         idx, d, ok = match.search_projection(
-            jnp.asarray(store.mp_desc[mp_p], jnp.bfloat16), fd.desc, uv, fd.uv_und,
+            jnp.asarray(store.mp_desc[mp_p], self._desc_dtype), fd.desc, uv, fd.uv_und,
             vis, fd.valid, jnp.asarray(radii), cfg.match_th_high, ratio=1.0)
         ok_np = np.asarray(ok)
         idx_np = np.asarray(idx)

@@ -47,6 +47,8 @@ def main():
     p.add_argument("--viz_every", type=int, default=200)
     p.add_argument("--local_ba_kfs", type=int, default=0,
                    help="override local-BA window caps (A/B experiments)")
+    p.add_argument("--f32_desc", action="store_true",
+                   help="upload descriptors f32 instead of bf16 (A/B)")
     args = p.parse_args()
 
     import jax
@@ -71,6 +73,8 @@ def main():
     if args.local_ba_kfs:
         cfg = cfg.replace(local_ba_max_kfs=args.local_ba_kfs,
                           local_ba_max_fixed=args.local_ba_kfs)
+    if args.f32_desc:
+        cfg = cfg.replace(desc_upload_bf16=False)
 
     descriptor_fn = None
     asdnet_params = None
