@@ -109,6 +109,18 @@ def main():
         result["loop_funnel"] = system.loop_closer.counters
     if len(e) >= 10:
         result["ate_sim3_m"] = round(float(evaluate.ate_rmse(e, g, align="sim3")), 3)
+        ids = sorted(set(est) & set(gt))
+        result["drift"] = evaluate.drift_analysis(e, g, ids=ids)
+    est_kf = evaluate.camera_centers(system.keyframe_trajectory())
+    ekf, gkf = evaluate.associate_by_id(est_kf, gt)
+    result["keyframe_poses"] = len(ekf)
+    if len(ekf) >= 10:
+        result["ate_kf_sim3_m"] = round(
+            float(evaluate.ate_rmse(ekf, gkf, align="sim3")), 3)
+    if system.loop_closer is not None:
+        result["loop_events"] = [
+            {"kf": k, "cand": c, "frame": fr}
+            for (k, c, fr) in system.loop_closer.accepted_log]
     if args.profile:
         print(system.tracer.report(), flush=True)
     print(json.dumps(result))
