@@ -165,7 +165,8 @@ class LocalMapper:
                 jnp.asarray(nb_R), jnp.asarray(nb_t),
                 jnp.asarray(R1), jnp.asarray(t1), self.K,
                 jnp.asarray(self.inv_sigma2),
-                max_dist=cfg.match_th_low * 2, ratio=0.9, fmean=fmean)
+                max_dist=cfg.match_th_low * 2, ratio=0.9, fmean=fmean,
+                min_parallax_cos=cfg.triangulation_min_parallax_cos)
             idx, good, X = jax.device_get((idx, good, X))  # single host sync
 
         new_points = []

@@ -23,12 +23,14 @@ from asdslam_tpu.ops import match
 from asdslam_tpu.frontend import visibility
 
 
-@functools.partial(jax.jit, static_argnames=("max_dist", "ratio", "fmean"))
+@functools.partial(jax.jit, static_argnames=("max_dist", "ratio", "fmean",
+                                             "min_parallax_cos"))
 def triangulate_neighbors(
     f1_desc, f1_uv, f1_level, f1_free,
     nb_desc, nb_uv, nb_level, nb_free,
     nb_R, nb_t, R1, t1, K, inv_sigma2_lut,
     max_dist: float, ratio: float, fmean: float,
+    min_parallax_cos: float = 0.9998,
 ):
     """Epipolar search + midpoint triangulation of KF1 against a padded block
     of neighbour KFs (CreateNewMapPoints, LocalMapping.cc:299-556).
@@ -64,7 +66,7 @@ def triangulate_neighbors(
         s2_2 = 1.0 / inv_s2_2[idx]
         th2 = 5.991 * s2_2 / (fmean * fmean)
         good = (ok & (z1 > 0) & (z2 > 0) & (e1 < th1) & (e2 < th2)
-                & (cosp < 0.9998))
+                & (cosp < min_parallax_cos))
         return idx, good, X
 
     return jax.vmap(one)(nb_desc, nb_uv, nb_level, nb_free, nb_R, nb_t)

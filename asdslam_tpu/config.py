@@ -112,6 +112,12 @@ class SlamConfig:
     # Local mapping (ref: src/vslam/src/LocalMapping.cc)
     # ------------------------------------------------------------------ #
     triangulation_neighbors: int = 20  # CreateNewMapPoints: 20 best covisible KFs
+    # minimum parallax for NEW map points, as a cosine bound: the reference
+    # accepts cosParallax < 0.9998 (~1.15 deg).  Low-parallax midpoint
+    # triangulations carry a systematic depth bias that compounds into
+    # per-metre scale drift on corridor geometry — tightening this is the
+    # scale-drift lever (A/B'd on the corridor drift probe).
+    triangulation_min_parallax_cos: float = 0.9998
     min_baseline_depth_ratio: float = 0.01  # baseline/medianDepth gate (LocalMapping.cc:~360)
     mp_cull_min_found_ratio: float = 0.25   # MapPointCulling found/visible
     mp_cull_min_obs: int = 2
