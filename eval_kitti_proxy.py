@@ -49,6 +49,8 @@ def main():
                    help="override local-BA window caps (A/B experiments)")
     p.add_argument("--f32_desc", action="store_true",
                    help="upload descriptors f32 instead of bf16 (A/B)")
+    p.add_argument("--no_pallas", action="store_true",
+                   help="use the jnp distance-matrix matcher (A/B)")
     args = p.parse_args()
 
     import jax
@@ -75,6 +77,8 @@ def main():
                           local_ba_max_fixed=args.local_ba_kfs)
     if args.f32_desc:
         cfg = cfg.replace(desc_upload_bf16=False)
+    if args.no_pallas:
+        cfg = cfg.replace(use_pallas_match=False)
 
     descriptor_fn = None
     asdnet_params = None
