@@ -323,6 +323,11 @@ def bundle_adjust(
         dc = -jax.scipy.linalg.cho_solve(
             jax.scipy.linalg.cho_factor(S_red, lower=True),
             rhs.reshape(-1)).reshape(n_opt, 6)
+        # per-camera trust region: weakly-observed cameras are rank-deficient
+        # and their junk updates ride along with cost-improving steps (the
+        # LM gate only sees the total) — clip each camera's tangent step
+        dc_norm = jnp.linalg.norm(dc, axis=1, keepdims=True)
+        dc = dc * jnp.minimum(1.0, 2.0 / jnp.maximum(dc_norm, 1e-9))
 
         # back-substitute points: dp = -Hpp^-1 (gp + W^T dc), gathered
         dc_k = dc[cam_p] * cam_is_opt[..., None]                  # [P, K, 6]

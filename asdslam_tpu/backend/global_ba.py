@@ -151,6 +151,15 @@ def global_bundle_adjust(
             return x
 
         dc = pcg(rhs)
+        # per-camera trust region: a KF with 1-2 observations is
+        # rank-deficient — its damped system has ~lam*1e-6 stiffness along
+        # unconstrained directions, so a junk multi-thousand-unit update can
+        # ride along with a cost-IMPROVING step (the LM gate only sees the
+        # total).  Clip each camera's tangent step; legitimate post-
+        # essential-graph corrections are far below the cap.
+        # (Observed: exploded keyframe poses corrupting the final map.)
+        dc_norm = jnp.linalg.norm(dc, axis=1, keepdims=True)
+        dc = dc * jnp.minimum(1.0, 2.0 / jnp.maximum(dc_norm, 1e-9))
 
         # back-substitute points: per obs  w_o Jp_o^T (Jc_o dc[cam_o])
         u_dc = jnp.einsum("oki,oi->ok", Jc, dc[safe_cam]) * opt_obs[:, None]
