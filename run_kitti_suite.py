@@ -28,6 +28,22 @@ REFERENCE_ATE = {  # BASELINE.md (real imagery — context, not comparison)
 }
 
 
+def make_table(rows):
+    lines = ["| Seq | Frames | Tracked | KFs | Loops | frame ATE (m) | %path |"
+             " KF ATE (m) | fps | ref ASD (real imagery, m) |",
+             "|---|---|---|---|---|---|---|---|---|---|"]
+    for r in rows:
+        ate = r.get("ate_sim3_m", float("nan"))
+        kfa = r.get("ate_kf_sim3_m", "-")
+        pl = r.get("path_length_m", 0) or 1
+        lines.append(
+            f"| {r['seq']} | {r['frames']} | {r['tracked']} | {r['keyframes']}"
+            f" | {r.get('loops_closed', 0)} | {ate} |"
+            f" {100.0 * ate / pl:.2f}% | {kfa} | {r.get('fps', 0)} |"
+            f" {REFERENCE_ATE.get(r['seq'], '-')} |")
+    return "\n".join(lines)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--seqs", default=",".join(DEFAULT_ORDER))
@@ -76,18 +92,7 @@ def main():
                 rows.append(json.load(f))
 
     # ---- aggregate table
-    lines = ["| Seq | Frames | Tracked | KFs | Loops | ATE sim3 (m) | %path |"
-             " fps | ref ASD (real imagery, m) |",
-             "|---|---|---|---|---|---|---|---|---|"]
-    for r in rows:
-        ate = r.get("ate_sim3_m", float("nan"))
-        pl = r.get("path_length_m", 0) or 1
-        lines.append(
-            f"| {r['seq']} | {r['frames']} | {r['tracked']} | {r['keyframes']}"
-            f" | {r.get('loops_closed', 0)} | {ate} |"
-            f" {100.0 * ate / pl:.2f}% | {r.get('fps', 0)} |"
-            f" {REFERENCE_ATE.get(r['seq'], '-')} |")
-    table = "\n".join(lines)
+    table = make_table(rows)
     print(table, flush=True)
     if args.out_md:
         with open(args.out_md, "w") as f:
