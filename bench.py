@@ -185,7 +185,8 @@ def main():
     # e2e system fps from the most recent full-sequence eval artifact (the
     # microbench measures the fused step; the artifact carries the honest
     # whole-system number including mapping/loop closure at KF rate)
-    for art in ("ATE_r04_seq00.json", "ATE_r04_seq03.json"):
+    for art in ("ATE_r04_seq00_asd.json", "ATE_r04_seq00.json",
+                "ATE_r04_seq03.json"):
         p = os.path.join(os.path.dirname(__file__), art)
         if os.path.exists(p):
             with open(p) as f:
