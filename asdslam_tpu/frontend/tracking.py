@@ -66,6 +66,7 @@ class Tracker:
         # init buffers
         self._init_feat = None
         self._init_frame_id = None
+        self._init_fail_count = 0
         self._rng = jax.random.PRNGKey(42)
 
         # per-frame state
@@ -291,16 +292,24 @@ class Tracker:
             return
 
         f0 = self._init_feat
+        # adaptive widening: on fast starts (KITTI 08's ~2.2 m/frame opening)
+        # inter-frame flow exceeds the reference's 100 px window and
+        # initialization can never fire; after repeated failures double the
+        # window (capped 4x).  The reference has no such retry — it simply
+        # fails to initialize until motion slows.
+        widen = min(4.0, 2.0 ** (self._init_fail_count // 20))
         with self.tracer.span("match"):
             idx, d, ok = match.search_window(
                 f0.desc, feat.desc, f0.uv_und, feat.uv_und, f0.valid, feat.valid,
-                radius=cfg.init_search_window, max_dist=cfg.match_th_low * 2,
+                radius=cfg.init_search_window * widen,
+                max_dist=cfg.match_th_low * 2,
                 ratio=0.9, angles_a=f0.angle, angles_b=feat.angle,
                 check_rotation=True,
             )
             n_matches = int(np.asarray(ok).sum())
         if n_matches < cfg.init_min_matches:
             self._init_feat = None
+            self._init_fail_count += 1
             return
 
         # gather matched pairs into fixed [N] arrays
@@ -315,6 +324,7 @@ class Tracker:
             )
             success = bool(res.success)
         if not success:
+            self._init_fail_count += 1
             return
 
         good = np.asarray(res.good)
@@ -363,6 +373,7 @@ class Tracker:
             store.update_normals_batch(np.asarray(mps, np.int64), self.scale_factors)
 
         self.state = OK
+        self._init_fail_count = 0
         self.last_feat = feat
         self.last_pose = store.kf_pose[kf1].copy()
         self.last_mp = cur_mp
