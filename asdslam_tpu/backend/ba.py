@@ -212,10 +212,20 @@ def build_pt_obs(pt_idx, valid, n_points: int, k_max: int):
     return table
 
 
-@functools.partial(jax.jit, static_argnames=("n_opt", "iters", "huber"))
+# Per-camera trust region default (tangent units per LM iteration).  The
+# tuned pipeline (local BA windows, post-essential-graph GBA) is validated
+# with 2.0; callers needing legitimately large corrections (e.g. GBA with no
+# prior graph alignment) should raise it — total camera motion is capped at
+# iters * trust_region.
+CAM_TRUST_REGION = 2.0
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_opt", "iters", "huber", "trust_region"))
 def bundle_adjust(
     problem: BAProblem, K, n_opt: int,
     iters: int = 10, huber: bool = True, chi2_th: float = CHI2_MONO,
+    trust_region: float = CAM_TRUST_REGION,
 ):
     """LM bundle adjustment over `n_opt` cameras + all valid points.
 
@@ -327,7 +337,7 @@ def bundle_adjust(
         # and their junk updates ride along with cost-improving steps (the
         # LM gate only sees the total) — clip each camera's tangent step
         dc_norm = jnp.linalg.norm(dc, axis=1, keepdims=True)
-        dc = dc * jnp.minimum(1.0, 2.0 / jnp.maximum(dc_norm, 1e-9))
+        dc = dc * jnp.minimum(1.0, trust_region / jnp.maximum(dc_norm, 1e-9))
 
         # back-substitute points: dp = -Hpp^-1 (gp + W^T dc), gathered
         dc_k = dc[cam_p] * cam_is_opt[..., None]                  # [P, K, 6]

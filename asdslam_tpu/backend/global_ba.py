@@ -26,11 +26,13 @@ from asdslam_tpu.estimators.linalg import inv3x3
 from asdslam_tpu.backend import ba
 
 
-@functools.partial(jax.jit, static_argnames=("n_opt", "iters", "cg_iters", "huber"))
+@functools.partial(jax.jit, static_argnames=("n_opt", "iters", "cg_iters",
+                                             "huber", "trust_region"))
 def global_bundle_adjust(
     poses7, points, pt_valid, obs: ba.Obs, K, n_opt: int,
     iters: int = 10, cg_iters: int = 50, huber: bool = True,
     chi2_th: float = 5.991, pt_obs=None, cam_obs=None,
+    trust_region: float = ba.CAM_TRUST_REGION,
 ):
     """LM with implicit-Schur PCG.  First `n_opt` cameras optimized, rest
     fixed.  Returns (poses7, points, obs_chi2).
@@ -159,7 +161,7 @@ def global_bundle_adjust(
         # essential-graph corrections are far below the cap.
         # (Observed: exploded keyframe poses corrupting the final map.)
         dc_norm = jnp.linalg.norm(dc, axis=1, keepdims=True)
-        dc = dc * jnp.minimum(1.0, 2.0 / jnp.maximum(dc_norm, 1e-9))
+        dc = dc * jnp.minimum(1.0, trust_region / jnp.maximum(dc_norm, 1e-9))
 
         # back-substitute points: per obs  w_o Jp_o^T (Jc_o dc[cam_o])
         u_dc = jnp.einsum("oki,oi->ok", Jc, dc[safe_cam]) * opt_obs[:, None]

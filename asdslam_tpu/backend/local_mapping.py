@@ -49,14 +49,30 @@ class LocalMapper:
 
     # ------------------------------------------------------------------ #
     def process(self, kf: int):
-        store = self.store
+        self.process_phase_a(kf)
+        self.process_phase_b(kf)
+
+    def process_phase_a(self, kf: int):
+        """Association refresh + point culling + triangulation — the part of
+        DoMapping whose OUTPUT the tracker needs immediately (new map points
+        feed the next frames' local-map search).  Run synchronously at KF
+        creation even in asynchronous mode; it neither moves poses nor
+        merges points, so the device tracking chain stays valid across it."""
         tr = self.tracer
-        with tr.span("mapping"):
+        with tr.span("mapping_a"):
             with tr.span("process_kf"):
                 self._process_new_keyframe(kf)
             self._cull_map_points(kf)
             with tr.span("triangulate"):
                 self._create_new_map_points(kf)
+
+    def process_phase_b(self, kf: int):
+        """Neighbor fusion + local BA + keyframe culling + loop closing —
+        the expensive tail of DoMapping, safe to overlap with tracking (the
+        tracker re-anchors to the adjusted map at the deterministic join)."""
+        store = self.store
+        tr = self.tracer
+        with tr.span("mapping"):
             with tr.span("fuse"):
                 self._fuse_neighbors(kf)
             if store.n_kf > 2:

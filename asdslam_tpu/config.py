@@ -51,6 +51,28 @@ class SlamConfig:
     use_pallas_match: bool = True
 
     # ------------------------------------------------------------------ #
+    # Pipelined execution (TPU-native additions; no reference counterpart —
+    # the reference is fully synchronous).  Both knobs preserve determinism:
+    # all orchestration decisions depend only on frame ids and kernel
+    # results, never on wall-clock.
+    # ------------------------------------------------------------------ #
+    # Dispatch frame t+1's fused kernel BEFORE syncing frame t's result:
+    # the host decodes/bookkeeps frame t while t+1 executes, hiding the
+    # device-round-trip latency (dominant per-frame cost over a remote
+    # tunnel).  The device-state recurrence (pose, velocity, features, geom,
+    # crow) makes the speculative dispatch exact; a gate failure at frame t
+    # discards t+1's speculative result (its extracted features are reused).
+    pipelined_tracking: bool = True
+    # Run the per-keyframe mapping pass (triangulate/fuse/local BA/loop
+    # detect) in a worker thread while tracking continues against the
+    # frozen pre-KF device blocks.  The join point is DETERMINISTIC: results
+    # are applied when the tracker processes the keyframe's frame id +
+    # mapping_overlap_frames (or at the next KF / staged fallback, whichever
+    # first) — never "when the thread happens to finish".
+    async_mapping: bool = True
+    mapping_overlap_frames: int = 6
+
+    # ------------------------------------------------------------------ #
     # Matching (ref: src/vslam/src/ORBmatcher.cc:37-39)
     # ------------------------------------------------------------------ #
     match_th_high: float = 1.5        # TH_HIGH — squared-L2 on unit descriptors

@@ -240,7 +240,18 @@ def optimize_sim3_align(X_src, X_dst, valid, iters: int = 20,
         dx = -linalg.chol_solve_small(H, J.T @ r_w)
         from asdslam_tpu.geometry import se3 as se3m
         R_new = se3m.so3_exp(dx[:3]) @ R
-        return (s * jnp.exp(dx[6]), R_new, t + dx[3:6]), None
+        s_new, t_new = s * jnp.exp(dx[6]), t + dx[3:6]
+        # accept only on (weighted) residual non-increase: chol_solve_small
+        # clamps non-positive pivots, so an ill-conditioned f32 factorization
+        # can produce a huge finite step — gate it instead of applying it
+        # unconditionally (there is no LM loop here to reject it later)
+        cost_old = jnp.sum((r * w_h[:, None]) ** 2)
+        r_new = (s_new * X_src @ R_new.T + t_new - X_dst) * w_h[:, None]
+        ok = jnp.isfinite(dx).all() & (jnp.sum(r_new ** 2) <= cost_old)
+        s_out = jnp.where(ok, s_new, s)
+        R_out = jnp.where(ok, R_new, R)
+        t_out = jnp.where(ok, t_new, t)
+        return (s_out, R_out, t_out), None
 
     (s, R, t), _ = jax.lax.scan(step, (s0, R0, t0), None, length=iters)
     r = residuals((s, R, t))

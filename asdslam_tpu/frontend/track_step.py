@@ -74,6 +74,15 @@ class TrackResult(NamedTuple):
     next_geom: GeomBlock    # per-feature matched map-point geometry — the
     #                         NEXT frame's prev_pts, kept on device so the
     #                         host uploads nothing per frame
+    crow: jnp.ndarray       # [N] int32 candidate-row binding per feature
+    #                         (-1 = the feature's point is not a row of the
+    #                         current candidate block).  Feeding it back as
+    #                         prev_crow lets the NEXT call mask already-bound
+    #                         candidate rows entirely on device — the full
+    #                         per-frame state recurrence (pose, velocity,
+    #                         feat, geom, crow) never touches the host, which
+    #                         is what makes dispatch-ahead pipelining
+    #                         (tracking.py) possible.
 
 
 def _scatter_codes(idx, ok, codes, n_out):
@@ -99,10 +108,14 @@ def make_track_step(cfg: SlamConfig, K, extract_fn):
     @jax.jit
     def track_step(img, prev_pose7, velocity7, prev_feat,
                    prev_pts: GeomBlock, cand_pts: PointBlock,
-                   cand_bound=None):
-        """cand_bound: optional [P] bool marking candidate rows already bound
-        to a feature (stale device-resident candidate blocks are refreshed
-        only at keyframe rate; this tiny mask keeps them exact per frame)."""
+                   prev_crow=None):
+        """prev_crow: optional [N] int32 — the previous call's ``crow``
+        output (candidate-row binding per previous-frame feature).  The
+        candidate block is refreshed only at keyframe rate; rows whose point
+        a previous feature already holds are masked out of the local-map
+        search, computed here from prev_crow so the host never has to sync
+        to build the mask (None = no rows bound, e.g. right after a block
+        rebuild, which excludes bound points by construction)."""
         if jnp.issubdtype(img.dtype, jnp.integer):
             img = img.astype(jnp.float32) * (1.0 / 255.0)
         feat = extract_fn(img)
@@ -155,9 +168,14 @@ def make_track_step(cfg: SlamConfig, K, extract_fn):
         src1 = jnp.where(inl1, src1, -1)
 
         # ---- local-map stage (TrackLocalMap) ----------------------------- #
+        P_cand = cand_pts.pos.shape[0]
         cand_valid = cand_pts.valid
-        if cand_bound is not None:
-            cand_valid = cand_valid & ~cand_bound
+        if prev_crow is not None:
+            # rows held by a previous-frame feature are bound (same semantics
+            # as the former host-side isin(cand_ids, last_mp) mask)
+            bound = jnp.zeros((P_cand,), bool).at[
+                jnp.clip(prev_crow, 0, P_cand - 1)].max(prev_crow >= 0)
+            cand_valid = cand_valid & ~bound
         uv_c, lvl_c, _, vis_c = visibility.project_points(
             pose1, K, cand_pts.pos, cand_pts.normal,
             cand_pts.min_dist, cand_pts.max_dist, cand_valid,
@@ -206,9 +224,19 @@ def make_track_step(cfg: SlamConfig, K, extract_fn):
             max_dist=gather_field(prev_pts.max_dist, cand_pts.max_dist),
             valid=src >= 0)
 
+        # candidate-row binding recurrence: features matched to a cand row
+        # take that row; features matched to a previous feature inherit its
+        # row (the point may have entered via the cand block frames ago)
+        if prev_crow is None:
+            inherited = jnp.full((N,), -1, jnp.int32)
+        else:
+            inherited = prev_crow[jnp.clip(src, 0, N - 1)]
+        crow = jnp.where(src >= N, src - N,
+                         jnp.where(src >= 0, inherited, -1)).astype(jnp.int32)
+
         res = TrackResult(pose=pose2, velocity=vel, src=src,
                           n_motion=n_motion, n_track=n_track, n_inliers=n_in,
-                          next_geom=next_geom)
+                          next_geom=next_geom, crow=crow)
         return feat, res
 
     return track_step

@@ -60,6 +60,23 @@ class Tracker:
         self._device_geom = None       # GeomBlock for the next frame
         self._device_cand = None       # PointBlock, refreshed at KF rate
         self._cand_ids = None          # np [P] map-point id per cand row
+        self._cand_epoch = 0           # bumped on every cand-block rebuild
+        self._remap = None             # (from_epoch, [P] device row remap)
+        #                                bridging a KF-time block rebuild
+
+        # ---- pipelined tracking state (cfg.pipelined_tracking) ---------- #
+        # dispatched-but-unprocessed frame: (frame_id, feat, res, cand_ids,
+        # last_mp_snapshot, cand_epoch)
+        self._pend = None
+        # ---- asynchronous mapping state (cfg.async_mapping) ------------- #
+        self._map_thread = None        # active mapping worker (or None)
+        self._map_exc = []             # exception raised inside the worker
+        self._map_kf = -1              # KF id the worker is mapping
+        self._map_kf_pose0 = None      # its pose at spawn (for the relative
+        #                                correction applied at join)
+        self._map_loops0 = 0           # loop count at spawn
+        self._buf_found = []           # mp-id arrays buffered during overlap
+        self._buf_visible = []
         from asdslam_tpu.utils.tracing import Tracer
         self.tracer = Tracer(enabled=False)  # System installs a live one
 
@@ -83,8 +100,64 @@ class Tracker:
 
     # ------------------------------------------------------------------ #
     def process(self, image, frame_id: int) -> Optional[np.ndarray]:
-        feat = None
-        if self._fused_eligible():
+        """Track one frame.  In pipelined mode (cfg.pipelined_tracking) the
+        returned pose may lag one frame: frame t's fused kernel is dispatched
+        before frame t-1's result is synced, so this call usually returns
+        t-1's pose and defers t's.  ``trajectory`` always carries the
+        correct (frame_id, pose) pairs; call ``flush()`` after the last
+        frame to drain the pipeline."""
+        if self.cfg.pipelined_tracking and (
+                self._pend is not None or self._fused_eligible()):
+            return self._process_pipelined(image, frame_id)
+        return self._process_sync(image, None, frame_id)
+
+    def flush(self):
+        """Drain the dispatch pipeline and join outstanding mapping work.
+        Call after the last frame (idempotent)."""
+        if self._pend is not None:
+            pend, self._pend = self._pend, None
+            with self.tracer.span("fused_track"):
+                self._commit_fused(*pend)
+        self._join_mapping()
+
+    # ---- pipelined engine --------------------------------------------- #
+    def _process_pipelined(self, image, frame_id: int) -> Optional[np.ndarray]:
+        with self.tracer.span("fused_track"):
+            stale_pend = (self._pend is not None
+                          and self._pend[4] != self._cand_epoch
+                          and not (self._remap is not None
+                                   and self._remap[0] == self._pend[4]))
+            if stale_pend:
+                # pipeline bubble: the candidate block was invalidated at a
+                # join — the pending frame's chain refers to the old block.
+                # Realign: commit it now, then restart the chain from host
+                # state (fresh post-BA geometry) below.
+                pend, self._pend = self._pend, None
+                if not self._commit_fused(*pend):
+                    # its staged fallback already ran; the current frame
+                    # takes the sync path from the recovered state
+                    return self._process_sync(image, None, frame_id)
+            feat, res = self._dispatch_fused(image)
+            if feat is None:
+                return self._process_sync(image, None, frame_id)
+            # snapshot the decode table/epoch AT DISPATCH: committing the
+            # previous frame below may join mapping and invalidate the live
+            # candidate block, but this frame's codes refer to this table
+            disp_cand_ids, disp_epoch = self._cand_ids, self._cand_epoch
+            out = None
+            if self._pend is not None:
+                pend, self._pend = self._pend, None
+                if not self._commit_fused(*pend):
+                    # pending frame failed its gates and was recovered via
+                    # the staged path; the current speculative result is
+                    # stale — reuse only its extracted features
+                    return self._process_sync(image, feat, frame_id)
+                out = self.last_pose
+            self._pend = (frame_id, feat, res, disp_cand_ids, disp_epoch)
+            return out
+
+    def _process_sync(self, image, feat, frame_id: int) -> Optional[np.ndarray]:
+        if feat is None and self._fused_eligible():
             with self.tracer.span("fused_track"):
                 feat, ok = self._try_fused(image, frame_id)
             if ok:
@@ -92,7 +165,8 @@ class Tracker:
                 return self.last_pose
             # fused step failed its gates: fall through to the staged path
             # (reference-KF fallback / relocalization) with `feat` reused.
-        self._invalidate_device_state()  # staged path mutates host-side map
+        self._join_mapping()             # staged path reads/mutates the map
+        self._invalidate_device_state()
         if feat is None:
             with self.tracer.span("extract"):
                 if hasattr(image, "dtype") and jnp.issubdtype(
@@ -165,10 +239,14 @@ class Tracker:
     def _invalidate_device_state(self):
         """Drop device-resident fused-path caches — call whenever the host
         map changes under them (KF insertion/mapping/loop closure, staged
-        tracking, reset)."""
+        tracking, reset).  Bumps the candidate-block epoch so a pending
+        pipelined frame (whose chain refers to the old block) is realigned
+        through the bubble path before the next dispatch."""
         self._device_geom = None
         self._device_cand = None
         self._cand_ids = None
+        self._cand_epoch += 1
+        self._remap = None
 
     def _build_prev_geom(self):
         store = self.store
@@ -209,14 +287,286 @@ class Tracker:
         self.ref_kf = ref_kf
         return True
 
-    def _try_fused(self, image, frame_id: int):
-        """Returns (feat, ok).  On ok the tracker state is fully updated; on
-        failure nothing is mutated and the caller reuses `feat`.
+    def _host_crow(self) -> np.ndarray:
+        """[N] int32: candidate-block row of each previous-frame feature's
+        bound map point (-1 if unbound / not a row).  Host-side seed of the
+        device crow recurrence, computed at chain restarts (right after a
+        block rebuild most entries are -1 — bound points are excluded at
+        build — but a mid-chain restart can find live bindings)."""
+        N = self.cfg.n_features
+        crow = np.full(N, -1, np.int32)
+        if self.last_mp is None or self._cand_ids is None:
+            return crow
+        has = self.last_mp >= 0
+        if not has.any():
+            return crow
+        order = np.argsort(self._cand_ids, kind="stable")
+        sc = self._cand_ids[order]
+        q = self.last_mp[has]
+        pos = np.clip(np.searchsorted(sc, q), 0, len(sc) - 1)
+        hit = sc[pos] == q
+        crow[np.nonzero(has)[0][hit]] = order[pos[hit]]
+        return crow
 
-        Host->device traffic per frame is the image plus a [P]-byte bound
-        mask: previous-frame geometry comes back from the previous fused
-        call (TrackResult.next_geom) and the candidate block is cached on
-        device between keyframes."""
+    def _dispatch_fused(self, image):
+        """Dispatch the fused kernel for one frame WITHOUT syncing.  Chain
+        dispatch (a pending frame exists) feeds the previous dispatch's
+        device outputs straight back in; a chain restart rebuilds the
+        device blocks from host state (joining any mapping worker first —
+        host reads must not race it).  Returns (feat, res) or (None, None)
+        when the fused path is not available."""
+        cfg = self.cfg
+        if self._fused is None:
+            self._fused = track_step_mod.make_track_step(cfg, self.K, self.extract)
+        img = jnp.asarray(image)
+        if self._pend is not None:
+            _, pfeat, pres, _, pepoch = self._pend
+            crow = pres.crow
+            if pepoch != self._cand_epoch:
+                # only reachable through a KF-time rebuild that published a
+                # row remap (every other mismatch takes the bubble path)
+                crow = _remap_crow(crow, self._remap[1])
+            with self.tracer.span("dispatch"):
+                return self._fused(img, pres.pose, pres.velocity, pfeat,
+                                   pres.next_geom, self._device_cand, crow)
+        # chain restart from host state
+        self._join_mapping()
+        if not self._fused_eligible():
+            return None, None
+        store = self.store
+        if self._device_cand is None:
+            last_mp = self.last_mp
+            has = last_mp >= 0
+            bound = last_mp[has & store.mp_valid[np.where(has, last_mp, 0)]]
+            with self.tracer.span("cand_upload"):
+                if not self._build_cand_block(bound):
+                    return None, None
+        with self.tracer.span("dispatch"):
+            return self._fused(img, jnp.asarray(self.last_pose),
+                               jnp.asarray(self.velocity), self.last_feat,
+                               self._build_prev_geom(), self._device_cand,
+                               jnp.asarray(self._host_crow()))
+
+    def _commit_fused(self, frame_id: int, feat, res, cand_ids, epoch) -> bool:
+        """Sync a dispatched frame's small result bundle and commit it:
+        decode bindings, bookkeeping, trajectory, keyframe policy,
+        deterministic mapping join.  On gate failure runs the staged
+        fallback for this frame (reusing its extracted features) and
+        returns False."""
+        cfg = self.cfg
+        store = self.store
+        with self.tracer.span("kernel"):
+            small = jax.device_get((res.pose, res.velocity, res.src,
+                                    res.n_motion, res.n_track, res.n_inliers))
+        pose, velocity, src, n_motion, n_track, n_in = small
+        n_motion, n_track, n_in = int(n_motion), int(n_track), int(n_in)
+        if (n_motion < cfg.min_motion_matches
+                or n_track < cfg.min_track_matches
+                or n_in < cfg.min_localmap_matches):
+            # staged fallback for THIS frame (reference-KF / relocalization)
+            self._join_mapping()
+            self._invalidate_device_state()
+            self._process_sync(None, feat, frame_id)
+            return False
+
+        overlap = self._map_thread is not None
+        # decode match source codes -> map-point bindings (via the candidate
+        # table snapshotted at dispatch — the live one may have been rebuilt)
+        N = cfg.n_features
+        last_mp = self.last_mp
+        cur_mp = np.full(N, -1, np.int32)
+        m1 = (src >= 0) & (src < N)
+        cur_mp[m1] = last_mp[src[m1]]
+        m2 = src >= N
+        cur_mp[m2] = cand_ids[src[m2] - N]
+        if not overlap:
+            # resolve merges/culls (no store reads while the worker runs —
+            # stale ids are resolved for the whole binding set at join)
+            has = cur_mp >= 0
+            rs = store.resolve_replacements(cur_mp)
+            ok_mp = has & (rs >= 0) & store.mp_valid[np.where(rs >= 0, rs, 0)]
+            cur_mp = np.where(ok_mp, rs, -1).astype(np.int32)
+        # first-wins dedup: the stale-bound-mask window around a rebuild can
+        # double-bind one point to two features
+        rows = np.nonzero(cur_mp >= 0)[0]
+        if len(rows):
+            first = np.zeros(len(rows), bool)
+            first[np.unique(cur_mp[rows], return_index=True)[1]] = True
+            cur_mp[rows[~first]] = -1
+
+        # bookkeeping (TrackLocalMap's IncreaseVisible/IncreaseFound);
+        # buffered while the mapping worker owns the store
+        cand_live = cand_ids[cand_ids >= 0]
+        found = cur_mp[cur_mp >= 0]
+        if overlap:
+            self._buf_visible.append(cand_live)
+            self._buf_visible.append(found)
+            self._buf_found.append(found)
+        else:
+            store.mp_visible[cand_live] += 1
+            store.mp_found[found] += 1
+            store.mp_visible[found] += 1
+
+        self._prev_pose = self.last_pose.copy()
+        self.last_pose = np.asarray(pose)
+        self.velocity = np.asarray(velocity)
+        self.cur_mp = cur_mp
+        self.n_inliers = n_in
+        self._save_frame(feat, frame_id, tracked=True)
+        self.trajectory.append((frame_id, self.last_pose.copy()))
+        self.last_mp = cur_mp.copy()
+
+        # keyframe policy: the reference trigger, unmodified (inliers <
+        # min_match_count OR max_step frames — Tracking.cc:770-779).
+        # Suppressing the inlier trigger while a KF's new points are still
+        # in flight was A/B'd and REJECTED: deferral thins matching enough
+        # to cause staged fallbacks and map corruption (seq-03 proxy ATE
+        # 0.81 m unsuppressed vs 19.5 m with a 0.6-floor deferral).  The
+        # burst KFs the synchronous rule emits during the integration window
+        # are redundant but harmless — their mapping passes are cheap once
+        # compile-cached and largely hidden by the overlap.
+        if not self.localization_only and self._need_new_kf(frame_id):
+            self._join_mapping()     # a previous mapping pass completes first
+            with self.tracer.span("create_kf"):
+                self._create_new_kf(feat, frame_id, async_ok=True)
+        elif (self._map_thread is not None and
+              frame_id - self.last_kf_frame_id >= cfg.mapping_overlap_frames):
+            # deterministic join point: mapping results are applied exactly
+            # mapping_overlap_frames after the keyframe, never "when the
+            # thread happens to finish"
+            self._join_mapping()
+        return True
+
+    # ---- asynchronous mapping ----------------------------------------- #
+    def _rebuild_cand_after_kf(self):
+        """Rebuild the device candidate block right after the synchronous
+        triangulation phase, and publish a row-remap so the in-flight
+        pipelined frame's device chain bridges the rebuild without a
+        pipeline bubble (its crow codes refer to the OLD block's rows)."""
+        store = self.store
+        old_ids = self._cand_ids
+        old_epoch = self._cand_epoch
+        had_pend = self._pend is not None
+        last_mp = self.last_mp
+        has = last_mp >= 0
+        bound = last_mp[has & store.mp_valid[np.where(has, last_mp, 0)]]
+        with self.tracer.span("cand_upload"):
+            ok = self._build_cand_block(bound)
+        if not ok:
+            self._invalidate_device_state()
+            return
+        self._cand_epoch = old_epoch + 1
+        if had_pend and old_ids is not None:
+            new_ids = self._cand_ids
+            remap = np.full(len(old_ids), -1, np.int32)
+            order = np.argsort(new_ids, kind="stable")
+            sc = new_ids[order]
+            live = old_ids >= 0
+            pos = np.clip(np.searchsorted(sc, old_ids[live]), 0, len(sc) - 1)
+            hit = sc[pos] == old_ids[live]
+            remap[np.nonzero(live)[0][hit]] = order[pos[hit]]
+            self._remap = (old_epoch, jnp.asarray(remap))
+        else:
+            self._remap = None
+
+    def _spawn_mapping(self, kf: int, phase_b_only: bool = False):
+        import threading
+        lc = self.local_mapper.loop_closer
+        self._map_kf = kf
+        self._map_kf_pose0 = self.store.kf_pose[kf].copy()
+        self._map_loops0 = lc.n_loops_closed if lc is not None else 0
+        self._map_exc = []
+        target = (self.local_mapper.process_phase_b if phase_b_only
+                  else self.local_mapper.process)
+
+        def run():
+            try:
+                target(kf)
+            except BaseException as e:  # re-raised at join
+                self._map_exc.append(e)
+
+        t = threading.Thread(target=run, name="asdslam-mapping", daemon=True)
+        self._map_thread = t
+        t.start()
+
+    def _join_mapping(self, invalidate: bool = True):
+        """Join the mapping worker and apply its effects to the tracker:
+        buffered visibility counters, binding resolution (points merged or
+        culled by the mapper), the relative pose correction for the BA's
+        adjustment of the keyframe, and (by default) device-state
+        invalidation so the next dispatch realigns to the post-mapping map.
+        invalidate=False keeps the device chain running on the pre-mapping
+        candidate block (used when a new KF is created in the same step —
+        its own mapping pass ends in a normal invalidating join)."""
+        if self._map_thread is None:
+            return
+        with self.tracer.span("join_mapping"):
+            self._map_thread.join()
+        self._map_thread = None
+        if self._map_exc:
+            exc = self._map_exc[0]
+            self._map_exc = []
+            raise exc
+        store = self.store
+        self._apply_buffers()
+        # resolve tracker bindings against the mapper's merges/culls
+        for name in ("last_mp", "cur_mp"):
+            arr = getattr(self, name, None)
+            if arr is None:
+                continue
+            rs = store.resolve_replacements(arr)
+            ok = (rs >= 0) & store.mp_valid[np.where(rs >= 0, rs, 0)]
+            setattr(self, name, np.where(ok, rs, -1).astype(np.int32))
+        # relative pose correction: preserve T_cur * T_kf^-1 across the
+        # mapper's adjustment of the keyframe (local BA, loop correction)
+        kf = self._map_kf
+        if (kf >= 0 and self._map_kf_pose0 is not None
+                and self.last_pose is not None and store.kf_valid[kf]):
+            delta = _relpose_delta(self._map_kf_pose0, store.kf_pose[kf])
+            if delta is not None:
+                self.last_pose = _apply_delta_host(self.last_pose, delta)
+                if self._prev_pose is not None:
+                    self._prev_pose = _apply_delta_host(self._prev_pose, delta)
+                if self._pend is not None:
+                    fid, pfeat, pres, pc, pe = self._pend
+                    pres = pres._replace(
+                        pose=_apply_delta_dev(pres.pose, jnp.asarray(delta)))
+                    self._pend = (fid, pfeat, pres, pc, pe)
+        self._map_kf = -1
+        self._map_kf_pose0 = None
+        lc = self.local_mapper.loop_closer if self.local_mapper else None
+        if lc is not None and lc.n_loops_closed > self._map_loops0:
+            # loop correction moved (and rescaled) the map: the motion
+            # model is stale — force a full staged re-anchor next frame
+            self.velocity = None
+            invalidate = True  # the old candidate block is in pre-loop
+            #                    coordinates: never keep tracking against it
+        if invalidate:
+            # the map changed under the device blocks: realign at dispatch
+            self._invalidate_device_state()
+
+    def _apply_buffers(self):
+        store = self.store
+        for ids in self._buf_visible:
+            rs = store.resolve_replacements(ids)
+            rs = rs[(rs >= 0) & store.mp_valid[np.clip(rs, 0, None)]]
+            store.mp_visible[rs] += 1
+        for ids in self._buf_found:
+            rs = store.resolve_replacements(ids)
+            rs = rs[(rs >= 0) & store.mp_valid[np.clip(rs, 0, None)]]
+            store.mp_found[rs] += 1
+        self._buf_visible = []
+        self._buf_found = []
+
+    def _try_fused(self, image, frame_id: int):
+        """Synchronous fused step (cfg.pipelined_tracking=False).  Returns
+        (feat, ok).  On ok the tracker state is fully updated; on failure
+        nothing is mutated and the caller reuses `feat`.
+
+        Host->device traffic per frame is the image plus the [N] crow seed:
+        previous-frame geometry comes back from the previous fused call
+        (TrackResult.next_geom) and the candidate block is cached on device
+        between keyframes."""
         cfg = self.cfg
         store = self.store
         if self._fused is None:
@@ -232,13 +582,12 @@ class Tracker:
         prev_geom = self._device_geom
         if prev_geom is None:
             prev_geom = self._build_prev_geom()
-        cand_bound = jnp.asarray(np.isin(self._cand_ids, bound))
 
         with self.tracer.span("kernel"):
             feat, res = self._fused(
                 jnp.asarray(image), jnp.asarray(self.last_pose),
                 jnp.asarray(self.velocity), self.last_feat, prev_geom,
-                self._device_cand, cand_bound)
+                self._device_cand, jnp.asarray(self._host_crow()))
             small = jax.device_get((res.pose, res.velocity, res.src,
                                     res.n_motion, res.n_track, res.n_inliers))
         pose, velocity, src, n_motion, n_track, n_in = small
@@ -306,7 +655,8 @@ class Tracker:
                 ratio=0.9, angles_a=f0.angle, angles_b=feat.angle,
                 check_rotation=True,
             )
-            n_matches = int(np.asarray(ok).sum())
+            idx_np, ok_np = jax.device_get((idx, ok))
+            n_matches = int(ok_np.sum())
         if n_matches < cfg.init_min_matches:
             self._init_feat = None
             self._init_fail_count += 1
@@ -327,9 +677,7 @@ class Tracker:
             self._init_fail_count += 1
             return
 
-        good = np.asarray(res.good)
-        idx_np = np.asarray(idx)
-        R, t = np.asarray(res.R), np.asarray(res.t)
+        good, R, t, pts = jax.device_get((res.good, res.R, res.t, res.points))
         pose1 = np.zeros(7, np.float32)
         pose1[0] = 1.0
         pose2 = np.asarray(se3.pose_pack(jnp.asarray(R), jnp.asarray(t)))
@@ -340,8 +688,7 @@ class Tracker:
             kf1 = store.add_keyframe(pose2, frame_id, feat)
             store.kf_parent[kf1] = kf0
 
-            pts = np.asarray(res.points)
-            desc2 = np.asarray(feat.desc)
+            desc2 = store.kf_host[kf1].desc
             cur_mp = np.full(self.cfg.n_features, -1, np.int32)
             for i in np.nonzero(good)[0]:
                 m = store.add_map_point(pts[i], desc2[idx_np[i]], kf0)
@@ -399,6 +746,12 @@ class Tracker:
         """Tracking::Reset parity (src/vslam/src/Tracking.cc:1268-1305): a
         bad initialization clears the MAP, the KF database and the loop
         closer — not just the tracker — so the next init starts clean."""
+        self._pend = None
+        if self._map_thread is not None:
+            # never clear the store under a live mapping worker
+            self._map_thread.join()
+            self._map_thread = None
+            self._map_exc = []
         self.store.clear()
         if self.local_mapper is not None:
             self.local_mapper.recent = []
@@ -500,15 +853,13 @@ class Tracker:
                 ratio=1.0, pred_level_a=self.last_feat.level,
                 levels_b=feat.level,
             )
-            n = int(np.asarray(mok).sum())
+            idx_np, mok_np = jax.device_get((idx, mok))
+            n = int(mok_np.sum())
             if n >= cfg.min_motion_matches:
                 break
         if n < cfg.min_motion_matches:
             return False
 
-        # pose-only BA on matched points
-        idx_np = np.asarray(idx)
-        mok_np = np.asarray(mok)
         cur_mp = np.full(cfg.n_features, -1, np.int32)
         cur_mp[idx_np[mok_np]] = self.last_mp[mok_np]
         return self._optimize_current(feat, cur_mp, pred, cfg.min_track_matches)
@@ -527,10 +878,9 @@ class Tracker:
             kf_feat.desc, feat.desc, valid_a, feat.valid,
             max_dist=cfg.match_th_low * 2, ratio=0.7,
         )
-        mok_np = np.asarray(mok)
+        idx_np, mok_np = jax.device_get((idx, mok))
         if mok_np.sum() < cfg.min_refkf_matches:
             return False
-        idx_np = np.asarray(idx)
         cur_mp = np.full(cfg.n_features, -1, np.int32)
         cur_mp[idx_np[mok_np]] = kf_mp[mok_np]
         start = self.last_pose if self.last_pose is not None else self.store.kf_pose[self.ref_kf]
@@ -548,10 +898,12 @@ class Tracker:
             jnp.asarray(inv_s2), jnp.asarray(valid), self.K,
             rounds=cfg.pose_opt_rounds, iters=cfg.pose_opt_iters,
         )
+        # one batched fetch (separate np.asarray fetches pay ~30 ms each
+        # of device->host latency over a remote tunnel)
+        pose, inl_np, n_in = jax.device_get((pose, inl, n_in))
         n_in = int(n_in)
         if n_in < min_inliers:
             return False
-        inl_np = np.asarray(inl)
         cur_mp[~inl_np] = -1
         self.cur_mp = cur_mp
         self.last_pose = np.asarray(pose)
@@ -587,10 +939,9 @@ class Tracker:
             idx, d, mok = match.search_global(
                 kf_feat.desc, feat.desc, jnp.asarray(has_mp) & kf_feat.valid,
                 feat.valid, max_dist=cfg.match_th_low * 2, ratio=0.75)
-            mok_np = np.asarray(mok)
+            idx_np, mok_np = jax.device_get((idx, mok))
             if mok_np.sum() < cfg.min_refkf_matches:
                 continue
-            idx_np = np.asarray(idx)
             # 3D-2D pairs indexed by the CURRENT frame's features
             cur_mp = np.full(cfg.n_features, -1, np.int32)
             cur_mp[idx_np[mok_np]] = kf_mp[mok_np]
@@ -620,7 +971,7 @@ class Tracker:
                                           max_dist=cfg.match_th_high)
                 if n_add + self.n_inliers >= cfg.reloc_min_inliers:
                     self._optimize_current(feat, self.cur_mp, self.last_pose, 10)
-                    if 30 <= self.n_inliers < cfg.reloc_min_inliers:
+                    if 30 < self.n_inliers < cfg.reloc_min_inliers:
                         # second, narrower pass (window 3, tighter distance)
                         self._reloc_widen(feat, int(c), radius=3.0,
                                           max_dist=cfg.match_th_low * 2)
@@ -663,15 +1014,17 @@ class Tracker:
             vis, feat.valid, jnp.asarray(radii), max_dist,
             ratio=1.0, pred_level_a=pred_level, levels_b=feat.level,
             skip_b=jnp.asarray(self.cur_mp >= 0))
-        mok_np = np.asarray(mok)
-        idx_np = np.asarray(idx)
-        n_add = 0
-        for a in np.nonzero(mok_np)[0]:
-            f = int(idx_np[a])
-            if self.cur_mp[f] < 0:
-                self.cur_mp[f] = mp_p[a]
-                n_add += 1
-        return n_add
+        idx_np, mok_np = jax.device_get((idx, mok))
+        # vectorized first-wins scatter (row order = candidate order, as the
+        # sequential loop had): keep the first candidate per feature target,
+        # bind only features still unmatched
+        rows = np.nonzero(mok_np)[0]
+        f = idx_np[rows]
+        first = np.zeros(len(f), bool)
+        first[np.unique(f, return_index=True)[1]] = True
+        sel = first & (self.cur_mp[f] < 0)
+        self.cur_mp[f[sel]] = mp_p[rows[sel]]
+        return int(sel.sum())
 
     # ---- local map ---------------------------------------------------- #
     def _track_local_map(self, feat) -> bool:
@@ -723,12 +1076,13 @@ class Tracker:
                 ratio=0.8, pred_level_a=pred_level, levels_b=feat.level,
                 skip_b=skip_b,
             )
-            mok_np = np.asarray(mok)
-            idx_np = np.asarray(idx)
-            for a in np.nonzero(mok_np)[0]:
-                f = idx_np[a]
-                if cur_mp[f] < 0:
-                    cur_mp[f] = cand_p[a]
+            idx_np, mok_np = jax.device_get((idx, mok))
+            rows = np.nonzero(mok_np)[0]
+            f = idx_np[rows]
+            first = np.zeros(len(f), bool)
+            first[np.unique(f, return_index=True)[1]] = True
+            sel = first & (cur_mp[f] < 0)
+            cur_mp[f[sel]] = cand_p[rows[sel]]
 
         # final pose optimization with all matches
         ok = self._optimize_current(feat, cur_mp, self.last_pose, cfg.min_localmap_matches)
@@ -745,7 +1099,7 @@ class Tracker:
             return True
         return frame_id >= self.last_kf_frame_id + cfg.max_step_kf
 
-    def _create_new_kf(self, feat, frame_id):
+    def _create_new_kf(self, feat, frame_id, async_ok: bool = False):
         store = self.store
         kf = store.add_keyframe(self.last_pose, frame_id, feat)
         for f in np.nonzero(self.cur_mp >= 0)[0]:
@@ -753,22 +1107,90 @@ class Tracker:
         self.ref_kf = kf
         self.last_kf_frame_id = frame_id
         self.last_mp = self.cur_mp.copy()
-        if self.local_mapper is not None:
-            lc = self.local_mapper.loop_closer
-            loops_before = lc.n_loops_closed if lc is not None else 0
-            self.local_mapper.process(kf)
-            # mapping may have adjusted poses: refresh
-            self.last_pose = store.kf_pose[kf].copy()
-            self.last_mp = store.kf_mp[kf].copy()
-            if lc is not None and lc.n_loops_closed > loops_before:
-                # loop correction moved the map: the motion model is stale
-                self.velocity = None
+        if self.local_mapper is None:
+            self.cur_mp = self.last_mp.copy()
+            self._invalidate_device_state()
+            return
+        if async_ok and self.cfg.async_mapping:
+            # phase A (triangulation) runs synchronously so the new map
+            # points reach the tracker's candidate block IMMEDIATELY — with
+            # them deferred to the join, inlier counts sag after every KF
+            # and the reference KF trigger emits redundant-KF bursts
+            # (measured 36 -> 60 KFs on the seq-03 proxy).  The expensive
+            # tail (fuse + local BA + loop closing) runs in the worker and
+            # overlaps the next frames' tracking.
+            self.cur_mp = self.last_mp.copy()
+            with self.tracer.span("triangulate_sync"):
+                self.local_mapper.process_phase_a(kf)
+            self._rebuild_cand_after_kf()
+            self._spawn_mapping(kf, phase_b_only=True)
+            return
+        lc = self.local_mapper.loop_closer
+        loops_before = lc.n_loops_closed if lc is not None else 0
+        self.local_mapper.process(kf)
+        # mapping may have adjusted poses: refresh
+        self.last_pose = store.kf_pose[kf].copy()
+        self.last_mp = store.kf_mp[kf].copy()
+        if lc is not None and lc.n_loops_closed > loops_before:
+            # loop correction moved the map: the motion model is stale
+            self.velocity = None
         # keep frame->mp binding fresh for the motion model
         self.cur_mp = self.last_mp.copy()
         # mapping/loop closure changed the map: device caches are stale
         self._invalidate_device_state()
 
     _prev_pose = None
+
+
+# --------------------------------------------------------------------------- #
+# Relative pose correction across an asynchronous mapping join
+# --------------------------------------------------------------------------- #
+def _relpose_delta(pose_kf_before: np.ndarray, pose_kf_after: np.ndarray):
+    """delta = T_k0^-1 * T_k1 (right-composition factor that carries a pose
+    expressed against the pre-mapping keyframe onto the post-mapping one).
+    Returns None when the adjustment is negligible."""
+    R0, t0 = _kf_rt(pose_kf_before)
+    R1, t1 = _kf_rt(pose_kf_after)
+    Rd = R0.T @ R1
+    td = R0.T @ (t1 - t0)
+    ang = abs(float(np.trace(Rd)) - 3.0)
+    if ang < 1e-12 and float(np.dot(td, td)) < 1e-16:
+        return None
+    q = _np_mat_to_quat(Rd)
+    return np.concatenate([q, td]).astype(np.float32)
+
+
+def _kf_rt(pose7):
+    from asdslam_tpu.mapping.map_store import _pose_np
+    return _pose_np(pose7)
+
+
+def _np_mat_to_quat(R):
+    from asdslam_tpu.system import _mat_to_quat_np
+    return _mat_to_quat_np(R)
+
+
+def _apply_delta_host(pose7: np.ndarray, delta7: np.ndarray) -> np.ndarray:
+    Ra, ta = _kf_rt(pose7)
+    Rd, td = _kf_rt(delta7)
+    R = Ra @ Rd
+    t = Ra @ td + ta
+    return np.concatenate([_np_mat_to_quat(R), t]).astype(np.float32)
+
+
+@jax.jit
+def _apply_delta_dev(pose7, delta7):
+    Ra, ta = se3.pose_unpack(pose7)
+    Rd, td = se3.pose_unpack(delta7)
+    return se3.pose_pack(*se3.compose(Ra, ta, Rd, td))
+
+
+@jax.jit
+def _remap_crow(crow, remap):
+    """Carry candidate-row bindings across a block rebuild: old row -> new
+    row (-1 when the point left the block, e.g. it became bound)."""
+    safe = jnp.clip(crow, 0, remap.shape[0] - 1)
+    return jnp.where(crow >= 0, remap[safe], -1)
 
 
 # --------------------------------------------------------------------------- #
@@ -893,6 +1315,9 @@ def _write_back(store: MapStore, asm: AssembledBA, poses, points, chi2=None, chi
         store.set_kf_pose(k, poses[i])
     store.mp_pos[asm.mp_ids] = points[:len(asm.mp_ids)]
     if chi2 is not None:
-        for o, (m, kf, feat) in enumerate(asm.obs_map):
-            if chi2[o] > chi2_th:
-                store.erase_observation(m, kf)
+        # only walk the outlier rows (the full obs table is up to 32k rows;
+        # outliers are typically a few dozen)
+        n_rows = len(asm.obs_map)
+        for o in np.nonzero(np.asarray(chi2[:n_rows]) > chi2_th)[0]:
+            m, kf, feat = asm.obs_map[o]
+            store.erase_observation(m, kf)

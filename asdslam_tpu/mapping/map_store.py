@@ -72,6 +72,10 @@ class MapStore:
         self.mp_obs_kf = np.full((max_pts, max_obs), -1, np.int32)
         self.mp_obs_feat = np.full((max_pts, max_obs), -1, np.int32)
         self.mp_n_obs = np.zeros(max_pts, np.int32)
+        # MapPoint::Replace leaves dangling ids in external bindings (the
+        # tracker's last_mp during asynchronous mapping); this table lets
+        # them be resolved to the surviving point (MapPoint::GetReplaced)
+        self.mp_replaced_by = np.full(max_pts, -1, np.int32)
 
     # ------------------------------------------------------------------ #
     # Lifecycle
@@ -126,6 +130,7 @@ class MapStore:
         self.mp_obs_kf = g(self.mp_obs_kf, -1)
         self.mp_obs_feat = g(self.mp_obs_feat, -1)
         self.mp_n_obs = g(self.mp_n_obs, 0)
+        self.mp_replaced_by = g(self.mp_replaced_by, -1)
         self.max_pts = new
 
     # ------------------------------------------------------------------ #
@@ -139,11 +144,17 @@ class MapStore:
         self.kf_frame_id[k] = frame_id
         self.kf_valid[k] = True
         self.kf_features.append(features)
+        # one batched device_get instead of four np.asarray fetches: on a
+        # remote-tunnel backend each separate fetch pays ~30 ms of latency,
+        # the batched get ~3 ms (measured) — this is on the KF-rate path
+        import jax
+        uv_h, lvl_h, desc_h, val_h = jax.device_get(
+            (features.uv_und, features.level, features.desc, features.valid))
         self.kf_host.append(HostFeat(
-            uv_und=np.asarray(features.uv_und, np.float32),
-            level=np.asarray(features.level, np.int32),
-            desc=np.asarray(features.desc, np.float32),
-            valid=np.asarray(features.valid, bool)))
+            uv_und=np.asarray(uv_h, np.float32),
+            level=np.asarray(lvl_h, np.int32),
+            desc=np.asarray(desc_h, np.float32),
+            valid=np.asarray(val_h, bool)))
         self.kf_level_t[k] = self.kf_host[k].level
         self.kf_uv_t[k] = self.kf_host[k].uv_und
         R, t = _pose_np(self.kf_pose[k])
@@ -254,6 +265,22 @@ class MapStore:
         self.mp_obs_feat[old, :] = -1
         self.mp_n_obs[old] = 0
         self.mp_valid[old] = False
+        self.mp_replaced_by[old] = new
+
+    def resolve_replacements(self, ids: np.ndarray) -> np.ndarray:
+        """Follow replace_map_point chains: ids (-1 allowed) -> surviving
+        point ids (or the original id if never replaced).  Vectorized; the
+        chain depth is bounded by the number of merges since the binding was
+        taken (typically 0-2)."""
+        out = np.asarray(ids).copy()
+        for _ in range(8):
+            has = out >= 0
+            nxt = np.where(has, self.mp_replaced_by[np.where(has, out, 0)], -1)
+            step = nxt >= 0
+            if not step.any():
+                break
+            out = np.where(step, nxt, out)
+        return out
 
     # ------------------------------------------------------------------ #
     # Covisibility

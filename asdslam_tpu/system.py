@@ -81,14 +81,22 @@ class System:
         with self.tracer.span("frame"):
             return self.tracker.process(img, frame_id)
 
+    def finish(self):
+        """Drain the pipelined tracker (deferred frame + outstanding
+        asynchronous mapping).  Idempotent; called automatically by the
+        trajectory/stats/save accessors so results are always complete."""
+        self.tracker.flush()
+
     # ------------------------------------------------------------------ #
     def keyframe_trajectory(self):
         """[(frame_id, pose7 T_cw)] for all keyframes."""
+        self.finish()
         s = self.store
         return [(int(s.kf_frame_id[k]), s.kf_pose[k].copy())
                 for k in range(s.n_kf) if s.kf_valid[k]]
 
     def frame_trajectory(self):
+        self.finish()
         return list(self.tracker.trajectory)
 
     def save_trajectory_tum(self, path: str, timestamps=None):
@@ -105,6 +113,7 @@ class System:
 
     def save_map(self, path: str):
         """Binary .map checkpoint (visual_map format parity — System.cc:437)."""
+        self.finish()
         from asdslam_tpu.mapping import persistence
         data = persistence.export_map(self.store, self.cfg,
                                       self.cfg.covis_weight_posegraph)
@@ -132,6 +141,9 @@ class System:
                     lc.db.add(kf, lc.kf_bow[kf])
 
     def stats(self):
+        # NOTE: deliberately does NOT flush the pipeline — it is called from
+        # per-frame progress prints, and a flush there would break the
+        # dispatch-ahead overlap.  Counts may lag by one frame.
         s = self.store
         return {
             "n_keyframes": int(s.kf_valid.sum()),

@@ -20,6 +20,7 @@ Usage:
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 from typing import Dict, List
 
@@ -46,22 +47,34 @@ class Tracer:
     def __init__(self, enabled: bool = True):
         self.enabled = enabled
         self.spans: Dict[str, Span] = {}
-        self._stack: List[str] = []
+        # span nesting is per-thread (the async mapping worker traces its
+        # own stack); the accumulator dict is shared under a lock
+        self._tls = threading.local()
+        self._lock = threading.Lock()
+
+    @property
+    def _stack(self) -> List[str]:
+        st = getattr(self._tls, "stack", None)
+        if st is None:
+            st = self._tls.stack = []
+        return st
 
     @contextlib.contextmanager
     def span(self, name: str):
         if not self.enabled:
             yield
             return
-        full = "/".join(self._stack + [name])
-        self._stack.append(name)
+        stack = self._stack
+        full = "/".join(stack + [name])
+        stack.append(name)
         t0 = time.perf_counter()
         try:
             yield
         finally:
             dt = time.perf_counter() - t0
-            self._stack.pop()
-            self.spans.setdefault(full, Span()).add(dt)
+            stack.pop()
+            with self._lock:
+                self.spans.setdefault(full, Span()).add(dt)
 
     def report(self) -> str:
         if not self.spans:

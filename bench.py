@@ -102,20 +102,24 @@ def main():
         min_dist=jnp.full((P,), 2.0), max_dist=jnp.full((P,), 80.0),
         desc=jax.random.normal(ks[2], (P, cfg.descriptor_dim)) * 0.1,
         valid=jnp.ones((P,), bool))
-    cand_bound = jnp.zeros((P,), bool)
+    crow0 = jnp.full((N,), -1, jnp.int32)
     pose0 = jnp.array([1., 0., 0., 0., 0., 0., 0.], jnp.float32)
     vel0 = jnp.array([1., 0., 0., 0., 0., 0., 0.3], jnp.float32)
 
-    state = {"feat": prev_feat, "geom": prev_geom, "pose": pose0, "vel": vel0}
+    state = {"feat": prev_feat, "geom": prev_geom, "pose": pose0, "vel": vel0,
+             "crow": crow0}
 
     def run_fused(n):
-        feat, geom, pose, vel = state["feat"], state["geom"], state["pose"], state["vel"]
+        feat, geom, pose, vel, crow = (state["feat"], state["geom"],
+                                       state["pose"], state["vel"],
+                                       state["crow"])
         res = None
         for i in range(n):
             feat, res = fused(jnp.asarray(frames_u8[i % 8]), pose, vel,
-                              feat, geom, cand, cand_bound)
-            geom, pose, vel = res.next_geom, res.pose, res.velocity
-        state.update(feat=feat, geom=geom, pose=pose, vel=vel)
+                              feat, geom, cand, crow)
+            geom, pose, vel, crow = (res.next_geom, res.pose, res.velocity,
+                                     res.crow)
+        state.update(feat=feat, geom=geom, pose=pose, vel=vel, crow=crow)
         return res.n_inliers
 
     np.asarray(run_fused(2))  # warmup / compile
@@ -184,15 +188,19 @@ def main():
     }
     # e2e system fps from the most recent full-sequence eval artifact (the
     # microbench measures the fused step; the artifact carries the honest
-    # whole-system number including mapping/loop closure at KF rate)
-    for art in ("ATE_r04_seq00_asd.json", "ATE_r04_seq00.json",
-                "ATE_r04_seq03.json"):
+    # whole-system number including mapping/loop closure at KF rate).
+    # The artifact's mtime is reported so a stale number — committed under
+    # an older tree than the one being benchmarked — is detectable.
+    for art in ("ATE_r05_seq00_asd.json", "ATE_r04_seq00_asd.json",
+                "ATE_r04_seq00.json", "ATE_r04_seq03.json"):
         p = os.path.join(os.path.dirname(__file__), art)
         if os.path.exists(p):
             with open(p) as f:
                 a = json.load(f)
             out["e2e_tracking_fps"] = a.get("fps_tracking", a.get("fps"))
             out["e2e_artifact"] = art
+            out["e2e_artifact_mtime"] = time.strftime(
+                "%Y-%m-%dT%H:%M:%S", time.gmtime(os.path.getmtime(p)))
             break
     print(json.dumps(out))
 

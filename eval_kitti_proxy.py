@@ -109,6 +109,10 @@ def main():
     for i in range(n):
         with system.tracer.span("render"):
             ts, img = seq[i]
+            # raycast dispatch is async: block here so the device render
+            # time is attributed to the render span, not the tracking window
+            if hasattr(img, "block_until_ready"):
+                img.block_until_ready()
         pose = system.track_monocular(img, i)
         if args.viz_dir and pose is not None:
             from asdslam_tpu.mapping.map_store import _pose_np
