@@ -175,7 +175,7 @@ class LocalMapper:
             free1 = (store.kf_mp[kf1] < 0) & h1.valid
 
         with self.tracer.span("kernel"):
-            idx, good, X = mapping_kernels.triangulate_neighbors(
+            enc, X = mapping_kernels.triangulate_neighbors(
                 f1.desc, f1.uv_und, f1.level, jnp.asarray(free1),
                 nb_desc, nb_uv, nb_level, jnp.asarray(nb_free),
                 jnp.asarray(nb_R), jnp.asarray(nb_t),
@@ -183,13 +183,13 @@ class LocalMapper:
                 jnp.asarray(self.inv_sigma2),
                 max_dist=cfg.match_th_low * 2, ratio=0.9, fmean=fmean,
                 min_parallax_cos=cfg.triangulation_min_parallax_cos)
-            idx, good, X = jax.device_get((idx, good, X))  # single host sync
+            enc, X = jax.device_get((enc, X))  # single host sync
 
         new_points = []
         desc1 = h1.desc
         for qi, kf2 in enumerate(keep):
-            for i in np.nonzero(good[qi])[0]:
-                j = int(idx[qi, i])
+            for i in np.nonzero(enc[qi] >= 0)[0]:
+                j = int(enc[qi, i])
                 if store.kf_mp[kf1, i] >= 0 or store.kf_mp[kf2, j] >= 0:
                     continue
                 m = store.add_map_point(X[qi, i], desc1[i], kf1)
@@ -265,20 +265,20 @@ class LocalMapper:
                       jnp.stack([f.level for f in dst_feats]),
                       jnp.stack([f.valid for f in dst_feats]))
         with self.tracer.span("kernel"):
-            idx, ok = mapping_kernels.fuse_pairs(
+            enc = mapping_kernels.fuse_pairs(
                 *blocks,
                 self.K, jnp.asarray(self.scale_factors),
                 width=float(cfg.image_width), height=float(cfg.image_height),
                 scale_factor=cfg.scale_factor, n_levels=cfg.n_levels,
                 fuse_radius=cfg.fuse_radius, max_dist=cfg.match_th_high)
-            idx, ok = jax.device_get((idx, ok))  # single host sync
+            enc = jax.device_get(enc)  # single host sync, one packed array
 
         for qi, (src_kf, dst_kf) in enumerate(pairs):
-            for a in np.nonzero(ok[qi])[0]:
+            for a in np.nonzero(enc[qi] >= 0)[0]:
                 m = int(mp_blocks[qi, a])
                 if not store.mp_valid[m]:
                     continue  # merged away by an earlier pair
-                feat = int(idx[qi, a])
+                feat = int(enc[qi, a])
                 existing = int(store.kf_mp[dst_kf, feat])
                 if existing >= 0 and existing != m and store.mp_valid[existing]:
                     # merge: keep the more-observed point
@@ -379,7 +379,9 @@ class LocalMapper:
             poses, points, chi2 = ba.bundle_adjust(
                 asm.problem, self.K, n_opt=asm.n_opt,
                 iters=cfg.local_ba_iters1 + cfg.local_ba_iters2)
-            poses, points, chi2 = jax.device_get((poses, points, chi2))
+            # fetch a packed outlier MASK, not the chi2 array: download
+            # bytes are the bottleneck over the device tunnel
+            out_mask = chi2 > cfg.chi2_mono
+            poses, points, out_np = jax.device_get((poses, points, out_mask))
         with self.tracer.span("write_back"):
-            _write_back(store, asm, poses, points, chi2,
-                        chi2_th=cfg.chi2_mono)
+            _write_back(store, asm, poses, points, outliers=out_np)

@@ -67,7 +67,12 @@ def triangulate_neighbors(
         th2 = 5.991 * s2_2 / (fmean * fmean)
         good = (ok & (z1 > 0) & (z2 > 0) & (e1 < th1) & (e2 < th2)
                 & (cosp < min_parallax_cos))
-        return idx, good, X
+        # pack (idx, good) into ONE int16 array: the device->host tunnel is
+        # heavily download-asymmetric (~30 MB/s with ~25 ms per-array
+        # latency measured vs 1.4 GB/s up), so result bytes and array count
+        # are the cost — n_features < 32768 always
+        enc = jnp.where(good, idx, -1).astype(jnp.int16)
+        return enc, X
 
     return jax.vmap(one)(nb_desc, nb_uv, nb_level, nb_free, nb_R, nb_t)
 
@@ -101,7 +106,9 @@ def fuse_pairs(
         idx, d, ok = match.search_projection(
             desc, d_desc, uv, d_uv, vis, d_valid, radii, max_dist,
             ratio=1.0, pred_level_a=pred_level, levels_b=d_level)
-        return idx, ok
+        # single packed int16 result (see triangulate_neighbors): download
+        # bytes/arrays are the dominant cost of this call over the tunnel
+        return jnp.where(ok, idx, -1).astype(jnp.int16)
 
     return jax.vmap(one)(mp_pos, mp_normal, mp_mind, mp_maxd, mp_desc,
                          mp_valid, dst_pose7, dst_desc, dst_uv, dst_level,

@@ -740,7 +740,8 @@ class Tracker:
             return
         poses, points, chi2 = ba.bundle_adjust(
             prob.problem, self.K, n_opt=1, iters=self.cfg.global_ba_iters)
-        _write_back(self.store, prob, np.asarray(poses), np.asarray(points))
+        poses, points = jax.device_get((poses, points))
+        _write_back(self.store, prob, poses, points)
 
     def _reset(self):
         """Tracking::Reset parity (src/vslam/src/Tracking.cc:1268-1305): a
@@ -1310,14 +1311,14 @@ def _assemble_ba(store: MapStore, opt_kfs, fixed_kfs, cfg: SlamConfig, inv_sigma
     return AssembledBA(problem, opt_kfs, fixed_kfs, mp_ids, rows, n_opt=n_opt_b)
 
 
-def _write_back(store: MapStore, asm: AssembledBA, poses, points, chi2=None, chi2_th=5.991):
+def _write_back(store: MapStore, asm: AssembledBA, poses, points, outliers=None):
     for i, k in enumerate(asm.opt_kfs):
         store.set_kf_pose(k, poses[i])
     store.mp_pos[asm.mp_ids] = points[:len(asm.mp_ids)]
-    if chi2 is not None:
+    if outliers is not None:
         # only walk the outlier rows (the full obs table is up to 32k rows;
         # outliers are typically a few dozen)
         n_rows = len(asm.obs_map)
-        for o in np.nonzero(np.asarray(chi2[:n_rows]) > chi2_th)[0]:
+        for o in np.nonzero(np.asarray(outliers[:n_rows]))[0]:
             m, kf, feat = asm.obs_map[o]
             store.erase_observation(m, kf)

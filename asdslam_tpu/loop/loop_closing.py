@@ -184,8 +184,9 @@ class LoopCloser:
         idx, d, mok = match.search_global(
             f1.desc, f2.desc, v1, v2,
             max_dist=cfg.match_th_low * 2, ratio=cfg.match_nn_ratio_loop)
-        mok_np = np.asarray(mok)
-        idx_np = np.asarray(idx)
+        # batched fetch: single np.asarray fetches cost ~30 ms EACH over the
+        # device tunnel; this path runs per loop candidate
+        idx_np, mok_np = jax.device_get((idx, mok))
         if mok_np.sum() < cfg.sim3_ransac_min_inliers:
             return False
         self.counters["match_gate"] += 1
@@ -212,15 +213,18 @@ class LoopCloser:
             jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(valid), self.K,
             jnp.asarray(th1), jnp.asarray(th2),
             iters=cfg.sim3_ransac_iters, min_inliers=cfg.sim3_ransac_min_inliers)
-        if not bool(res.success):
-            return False
-        self.counters["ransac_pass"] += 1
-
-        s, R, t, inl = sim3_horn.refine_sim3(
+        # dispatch the refine WITHOUT syncing the RANSAC verdict first: its
+        # result is simply unused when success is False, and the single
+        # batched fetch below replaces three sequential round-trips
+        s_d, R_d, t_d, inl_d = sim3_horn.refine_sim3(
             res.s, res.R, res.t, jnp.asarray(P1), jnp.asarray(P2),
             jnp.asarray(uv1), jnp.asarray(uv2), res.inliers, self.K,
             jnp.asarray(self.inv_sigma2[lvl1]), jnp.asarray(self.inv_sigma2[lvl2]))
-        n_inl = int(np.asarray(inl).sum())
+        success, s, R, t, inl = jax.device_get((res.success, s_d, R_d, t_d, inl_d))
+        if not bool(success):
+            return False
+        self.counters["ransac_pass"] += 1
+        n_inl = int(inl.sum())
         if n_inl < cfg.sim3_min_inliers:
             return False
         self.counters["refine_pass"] += 1
@@ -231,6 +235,7 @@ class LoopCloser:
         # cand through S; both directions must support the loop — one-way
         # agreement is weak evidence when descriptors alias.
         S_ck = (float(s), np.asarray(R), np.asarray(t))   # kf-cam -> cand-cam
+
         loop_kfs = [cand] + store.covisible_kfs(cand, min_weight=cfg.covis_weight_graph, max_n=10)
         loop_mps = store.local_map_points(loop_kfs)
         own_kfs = [kf] + store.covisible_kfs(kf, min_weight=cfg.covis_weight_graph, max_n=10)
@@ -251,8 +256,9 @@ class LoopCloser:
             np.asarray(se3.matrix_to_quat(jnp.asarray(Rn @ Rk))),
             (Rn @ tk + tn / S_ck[0]).astype(np.float32)])
 
-        n_fwd = self._count_guided_matches(kf, pose_fwd, loop_mps)
-        n_bwd = self._count_guided_matches(cand, pose_bwd, own_mps)
+        n_fwd_d = self._count_guided_matches(kf, pose_fwd, loop_mps)
+        n_bwd_d = self._count_guided_matches(cand, pose_bwd, own_mps)
+        n_fwd, n_bwd = (int(x) for x in jax.device_get((n_fwd_d, n_bwd_d)))
         total = max(n_inl, min(n_fwd, n_bwd))
         if total < cfg.loop_min_total_matches:
             return False
@@ -261,14 +267,15 @@ class LoopCloser:
         self._correct_loop(kf, cand, S_ck, loop_mps)
         return True
 
-    def _count_guided_matches(self, dst_kf: int, pose_corr, mps) -> int:
+    def _count_guided_matches(self, dst_kf: int, pose_corr, mps):
         """SearchByProjection of map points into dst_kf's features through a
         Sim3-corrected (scale-folded) pose — one direction of the
-        SearchBySim3 mutual check."""
+        SearchBySim3 mutual check.  Returns a DEVICE scalar (callers batch
+        the fetch of both directions into one round-trip)."""
         cfg = self.cfg
         store = self.store
         if len(mps) == 0:
-            return 0
+            return jnp.zeros((), jnp.int32)
         from asdslam_tpu.frontend import visibility
         P = cfg.local_ba_max_points
         mps = np.asarray(mps)[:P]
@@ -284,11 +291,11 @@ class LoopCloser:
             jnp.asarray(valid_a), bx1, by1,
             cfg.scale_factor, cfg.n_levels, min_view_cos=-1.0,
             x_min=bx0, y_min=by0)
-        radii = 10.0 * self.scale_factors[np.asarray(pred_level)]
+        radii = 10.0 * jnp.asarray(self.scale_factors)[pred_level]
         idx, d, ok = match.search_projection(
             jnp.asarray(store.mp_desc[mp_p], self._desc_dtype), f1.desc, uv, f1.uv_und,
-            vis, f1.valid, jnp.asarray(radii), cfg.match_th_high, ratio=1.0)
-        return int(np.asarray(ok).sum())
+            vis, f1.valid, radii, cfg.match_th_high, ratio=1.0)
+        return jnp.sum(ok).astype(jnp.int32)
 
     # ------------------------------------------------------------------ #
     def _correct_loop(self, kf: int, cand: int, S_ck, loop_mps):
@@ -401,8 +408,7 @@ class LoopCloser:
         idx, d, ok = match.search_projection(
             jnp.asarray(store.mp_desc[mp_p], self._desc_dtype), fd.desc, uv, fd.uv_und,
             vis, fd.valid, jnp.asarray(radii), cfg.match_th_high, ratio=1.0)
-        ok_np = np.asarray(ok)
-        idx_np = np.asarray(idx)
+        idx_np, ok_np = jax.device_get((idx, ok))
         for a in np.nonzero(ok_np)[0]:
             m = int(mp_p[a])
             feat = int(idx_np[a])
@@ -562,7 +568,7 @@ class LoopCloser:
             jnp.ones(P, bool), obs, self.K, n_opt=K_kfs - 1,
             iters=cfg.loop_gba_iters, cg_iters=40,
             pt_obs=pt_tab, cam_obs=cam_tab)
-        poses_o = np.asarray(poses_o)
+        poses_o, points_o = jax.device_get((poses_o, points_o))
         for i, k in enumerate(order):
             store.set_kf_pose(k, poses_o[i])
-        store.mp_pos[mp_ids] = np.asarray(points_o)
+        store.mp_pos[mp_ids] = points_o
