@@ -326,8 +326,19 @@ class LocalMapper:
         for f in np.nonzero(mps >= 0)[0]:
             store.erase_observation(int(mps[f]), kf)
         store.kf_valid[kf] = False
-        # reattach children in the spanning tree to this KF's parent
+        # capture the cull-time relative pose to the spanning-tree parent
+        # (the reference's mTcp, KeyFrame::SetBadFlag) so frame-trajectory
+        # recomposition can bridge culled reference KFs (System.cc:523-528)
         parent = store.kf_parent[kf]
+        if parent >= 0:
+            Rk, tk = _pose_np(store.kf_pose[kf])
+            Rp, tp = _pose_np(store.kf_pose[parent])
+            Rr = Rk @ Rp.T
+            tr = tk - Rr @ tp
+            from asdslam_tpu.mapping.map_store import _mat_to_quat_np_batch
+            store.kf_cull_parent[kf] = parent
+            store.kf_cull_rel[kf] = np.concatenate(
+                [_mat_to_quat_np_batch(Rr[None])[0], tr]).astype(np.float32)
         for child in np.nonzero(store.kf_parent[:store.n_kf] == kf)[0]:
             store.kf_parent[child] = parent
         if self.loop_closer is not None and self.loop_closer.db is not None:

@@ -184,6 +184,22 @@ class SlamConfig:
     vocab_direct_index_level: int = 4
 
     # ------------------------------------------------------------------ #
+    # Multi-chip (TPU-native; SURVEY.md §2.4 distributed-BA row).
+    # n_devices > 1 routes the loop-closure global BA through the
+    # point-major distributed solver (parallel/dist.py) on a device mesh:
+    # points block-sharded, observations grouped with their points, the
+    # only collectives the O(C^2) psums of the reduced camera system.
+    # ------------------------------------------------------------------ #
+    n_devices: int = 1
+
+    # Localization mode: extend the prior map while localized against it
+    # (the reference's Loc mode keeps tracking against a loaded map and can
+    # insert new keyframes; prior-map entities carry GlobalMapFlag,
+    # KeyFrame.h:142-143, and candidate searches filter on it).  False =
+    # pure localization (no map mutation).
+    loc_extend_map: bool = False
+
+    # ------------------------------------------------------------------ #
     # Map store static capacities (TPU-native)
     # ------------------------------------------------------------------ #
     max_keyframes: int = 2048

@@ -97,6 +97,23 @@ class Tracker:
         self.n_inliers = 0
 
         self.trajectory = []           # (frame_id, pose7) after each frame
+        # reference-protocol relative trajectory (Tracking.cc:371-375 pushes
+        # Tcr per frame): (frame_id, ref_kf, Tcr7) with Tcr = T_cw * T_rw^-1
+        # against the ref KF's pose AS THE TRACKER KNEW IT at that frame.
+        # Recomposed at save time so loop/GBA corrections retroactively
+        # repair the whole frame trajectory (System::SaveTrajectoryTUM,
+        # System.cc:482-541).
+        self.rel_traj = []
+        self._ref_snapshot = None      # (ref_kf, pose7) consistent with the
+        #                                tracker's current coordinate frame
+
+    @property
+    def _may_insert_kfs(self) -> bool:
+        """SLAM mode always inserts keyframes; localization mode only with
+        cfg.loc_extend_map (the reference's Loc-mode map extension — new
+        entities stay GlobalMapFlag=False, distinguishing them from the
+        loaded prior map)."""
+        return (not self.localization_only) or self.cfg.loc_extend_map
 
     # ------------------------------------------------------------------ #
     def process(self, image, frame_id: int) -> Optional[np.ndarray]:
@@ -119,6 +136,29 @@ class Tracker:
             with self.tracer.span("fused_track"):
                 self._commit_fused(*pend)
         self._join_mapping()
+
+
+    def _append_traj(self, frame_id: int):
+        """Record the frame in both trajectories: live pose, and the
+        reference-KF-relative pose used for save-time recomposition."""
+        self.trajectory.append((frame_id, self.last_pose.copy()))
+        ref = self.ref_kf
+        if ref is None or ref < 0 or ref >= self.store.n_kf:
+            self.rel_traj.append((frame_id, -1, self.last_pose.copy()))
+            return
+        if self._map_thread is None:
+            # worker inactive: the store is current — refresh the snapshot
+            self._ref_snapshot = (ref, self.store.kf_pose[ref].copy())
+        snap = self._ref_snapshot
+        if snap is None or snap[0] != ref:
+            self.rel_traj.append((frame_id, -1, self.last_pose.copy()))
+            return
+        Rr, tr = _kf_rt(snap[1])
+        Rc, tc = _kf_rt(self.last_pose)
+        Rcr = Rc @ Rr.T
+        tcr = tc - Rcr @ tr
+        self.rel_traj.append((frame_id, int(ref), np.concatenate(
+            [_np_mat_to_quat(Rcr), tcr]).astype(np.float32)))
 
     # ---- pipelined engine --------------------------------------------- #
     def _process_pipelined(self, image, frame_id: int) -> Optional[np.ndarray]:
@@ -161,7 +201,7 @@ class Tracker:
             with self.tracer.span("fused_track"):
                 feat, ok = self._try_fused(image, frame_id)
             if ok:
-                self.trajectory.append((frame_id, self.last_pose.copy()))
+                self._append_traj(frame_id)
                 return self.last_pose
             # fused step failed its gates: fall through to the staged path
             # (reference-KF fallback / relocalization) with `feat` reused.
@@ -197,7 +237,7 @@ class Tracker:
             else:
                 self._save_frame(feat, frame_id, tracked=False)
         if self.last_pose is not None and self.state == OK:
-            self.trajectory.append((frame_id, self.last_pose.copy()))
+            self._append_traj(frame_id)
             return self.last_pose
         return None
 
@@ -413,7 +453,7 @@ class Tracker:
         self.cur_mp = cur_mp
         self.n_inliers = n_in
         self._save_frame(feat, frame_id, tracked=True)
-        self.trajectory.append((frame_id, self.last_pose.copy()))
+        self._append_traj(frame_id)
         self.last_mp = cur_mp.copy()
 
         # keyframe policy: the reference trigger, unmodified (inliers <
@@ -620,7 +660,7 @@ class Tracker:
         self.n_inliers = n_in
         self._save_frame(feat, frame_id, tracked=True)
         self.last_mp = cur_mp.copy()
-        if not self.localization_only and self._need_new_kf(frame_id):
+        if self._may_insert_kfs and self._need_new_kf(frame_id):
             with self.tracer.span("create_kf"):
                 self._create_new_kf(feat, frame_id)
         return feat, True
@@ -810,7 +850,7 @@ class Tracker:
             self.velocity = np.asarray(se3.pose_pack(Rv, tv))
         self._save_frame(feat, frame_id, tracked=True)
         self.last_mp = self.cur_mp.copy()
-        if not self.localization_only and self._need_new_kf(frame_id):
+        if self._may_insert_kfs and self._need_new_kf(frame_id):
             with self.tracer.span("create_kf"):
                 self._create_new_kf(feat, frame_id)
 
@@ -926,9 +966,15 @@ class Tracker:
             from asdslam_tpu.loop import vocab as vocab_mod
             words = vocab_mod.transform(lc.vocab, feat.desc, feat.valid)
             qbow = vocab_mod.bow_vector(lc.vocab, words)
+            restrict = None
+            if self.localization_only and store.kf_global[:store.n_kf].any():
+                # only_global_map: relocalize against the PRIOR map, never
+                # against self-inserted keyframes (KeyFrameDatabase.cc:229)
+                restrict = store.kf_global
             cands = lc.db.detect_reloc_candidates(
                 qbow, lambda k: store.covisible_kfs(
-                    int(k), min_weight=cfg.covis_weight_graph, max_n=10))
+                    int(k), min_weight=cfg.covis_weight_graph, max_n=10),
+                restrict_mask=restrict)
         if not cands:
             cands = list(range(store.n_kf - 1, max(-1, store.n_kf - 6), -1))
 
@@ -1107,6 +1153,9 @@ class Tracker:
             store.add_observation(int(self.cur_mp[f]), kf, int(f))
         self.ref_kf = kf
         self.last_kf_frame_id = frame_id
+        # the new KF's pose IS the current pose: snapshot it before the
+        # asynchronous mapper starts adjusting the store
+        self._ref_snapshot = (kf, self.last_pose.copy())
         self.last_mp = self.cur_mp.copy()
         if self.local_mapper is None:
             self.cur_mp = self.last_mp.copy()

@@ -40,9 +40,16 @@ class KeyFrameDatabase:
 
     def _candidates(self, query_bow, exclude: Set[int], min_score: float,
                     common_factor: float, retain_factor: float,
-                    covis_of, top_groups: int = 10) -> List[int]:
+                    covis_of, top_groups: int = 10,
+                    restrict_mask=None) -> List[int]:
         qocc = query_bow > 0
         mask = self.present.copy()
+        if restrict_mask is not None:
+            # only_global_map filter (KeyFrameDatabase.cc:146,229):
+            # localization mode matches against PRIOR-map keyframes only
+            n = min(len(mask), len(restrict_mask))
+            mask[:n] &= restrict_mask[:n]
+            mask[n:] = False
         for k in exclude:
             if 0 <= k < len(mask):
                 mask[k] = False
@@ -90,15 +97,17 @@ class KeyFrameDatabase:
         return out
 
     def detect_loop_candidates(self, kf: int, query_bow, covis_set: Set[int],
-                               min_score: float, covis_of) -> List[int]:
+                               min_score: float, covis_of,
+                               restrict_mask=None) -> List[int]:
         exclude = set(covis_set) | {kf}
         return self._candidates(
             query_bow, exclude, min_score,
             self.cfg.loop_bow_common_words, self.cfg.loop_bow_group_retain,
-            covis_of)
+            covis_of, restrict_mask=restrict_mask)
 
-    def detect_reloc_candidates(self, query_bow, covis_of) -> List[int]:
+    def detect_reloc_candidates(self, query_bow, covis_of,
+                                restrict_mask=None) -> List[int]:
         return self._candidates(
             query_bow, set(), 0.0,
             self.cfg.reloc_bow_common_words, self.cfg.reloc_bow_group_retain,
-            covis_of)
+            covis_of, restrict_mask=restrict_mask)

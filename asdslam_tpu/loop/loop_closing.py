@@ -55,6 +55,9 @@ class LoopCloser:
         self.prev_groups: List[tuple] = []   # (set_of_kfs, consecutive_count)
         self.last_loop_kf = -10**9
         self.n_loops_closed = 0
+        # localization mode: restrict loop candidates to prior-map KFs
+        # (only_global_map, KeyFrameDatabase.cc:146)
+        self.only_global_map = False
         self.inv_sigma2 = np.asarray(cfg.inv_level_sigma2, np.float32)
         self.scale_factors = np.asarray(cfg.scale_factors, np.float32)
         self._desc_dtype = jnp.bfloat16 if cfg.desc_upload_bf16 else jnp.float32
@@ -147,9 +150,13 @@ class LoopCloser:
             (vocab_mod.score_l1(my_bow, self.kf_bow[c]) for c in covis if c in self.kf_bow),
             default=0.0)
         recent = set(range(max(0, kf - cfg.loop_exclude_recent_kfs), kf + 1))
+        restrict = None
+        if self.only_global_map and store.kf_global[:store.n_kf].any():
+            restrict = store.kf_global
         candidates = self.db.detect_loop_candidates(
             kf, my_bow, set(covis) | recent, min_score,
-            lambda k: store.covisible_kfs(k, min_weight=cfg.covis_weight_graph, max_n=10))
+            lambda k: store.covisible_kfs(k, min_weight=cfg.covis_weight_graph, max_n=10),
+            restrict_mask=restrict)
         if not candidates:
             self.prev_groups = []
             return []
@@ -553,6 +560,18 @@ class LoopCloser:
         cam_idx = cam_remap[cam_idx]
 
         P = len(mp_ids)
+        if cfg.n_devices > 1 and len(jax.devices()) >= cfg.n_devices:
+            # SYSTEM-level distributed GBA: the same assembled problem runs
+            # through the point-major mesh solver (SURVEY.md §2.4) — the
+            # multi-chip path is a live pipeline capability, not a library
+            with self.tracer.span("gba_mesh"):
+                poses_o, points_o = self._global_ba_mesh(
+                    poses, mp_ids, cam_idx, pt_idx, uv, inv_s2, valid,
+                    n_opt=K_kfs - 1)
+            for i, k in enumerate(order):
+                store.set_kf_pose(k, poses_o[i])
+            store.mp_pos[mp_ids] = points_o
+            return
         obs = ba.Obs(cam_idx=jnp.asarray(cam_idx), pt_idx=jnp.asarray(pt_idx),
                      uv=jnp.asarray(uv), inv_sigma2=jnp.asarray(inv_s2),
                      valid=jnp.asarray(valid))
@@ -572,3 +591,29 @@ class LoopCloser:
         for i, k in enumerate(order):
             store.set_kf_pose(k, poses_o[i])
         store.mp_pos[mp_ids] = points_o
+
+    def _global_ba_mesh(self, poses, mp_ids, cam_idx, pt_idx, uv, inv_s2,
+                        valid, n_opt: int):
+        """Loop-closure GBA over a device mesh: point-major layout once,
+        then loop_gba_iters damped Gauss-Newton steps of the distributed
+        Schur solver.  The result is mesh-size-invariant (the psums are
+        exact sums — tests/test_parallel.py asserts 1-dev == N-dev)."""
+        from jax.sharding import NamedSharding, PartitionSpec as PSpec
+        from asdslam_tpu.parallel import dist
+        cfg = self.cfg
+        store = self.store
+        mesh = dist.make_mesh(cfg.n_devices)
+        pts = store.mp_pos[mp_ids]
+        (points_pm, cam_o, pt_o, uv_o, s2_o, va_o, _) = dist.layout_point_major(
+            pts, cam_idx, pt_idx, uv, inv_s2, valid, cfg.n_devices)
+        shd = lambda x: jax.device_put(x, NamedSharding(mesh, PSpec("data")))
+        poses_d = jax.device_put(np.asarray(poses, np.float32),
+                                 NamedSharding(mesh, PSpec()))
+        points_d = shd(points_pm)
+        cam_d, pt_d, uv_d, s2_d, va_d = map(shd, (cam_o, pt_o, uv_o, s2_o, va_o))
+        for _ in range(cfg.loop_gba_iters):
+            poses_d, points_d = dist.distributed_ba_step_pm(
+                mesh, poses_d, points_d, cam_d, pt_d, uv_d, s2_d, va_d,
+                self.K, n_opt=n_opt, lam=1e-3)
+        poses_o, points_o = jax.device_get((poses_d, points_d))
+        return poses_o, points_o[:len(mp_ids)]

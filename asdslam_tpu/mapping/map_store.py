@@ -56,6 +56,18 @@ class MapStore:
         self.kf_uv_t = np.zeros((max_kfs, n_feat, 2), np.float32)
         self.kf_center = np.zeros((max_kfs, 3), np.float32)  # camera centres
         self.kf_parent = np.full(max_kfs, -1, np.int32)  # spanning tree
+        # culled-KF bookkeeping for frame-trajectory recomposition
+        # (System::SaveTrajectoryTUM walks Tcp links for bad KFs,
+        # src/vslam/src/System.cc:523-528): parent at cull time + relative
+        # pose T_kf * T_parent^-1 captured at cull time
+        self.kf_cull_parent = np.full(max_kfs, -1, np.int32)
+        self.kf_cull_rel = np.zeros((max_kfs, 7), np.float32)
+        self.kf_cull_rel[:, 0] = 1.0
+        # provenance: True = entity from a LOADED prior map (the reference's
+        # GlobalMapFlag, KeyFrame.h:142-143) — KeyFrameDatabase filters
+        # reloc/loop candidates on it in localization mode
+        # (KeyFrameDatabase.cc:146,229)
+        self.kf_global = np.zeros(max_kfs, bool)
         self.loop_edges: List[tuple] = []  # (kf_a, kf_b) accepted loop pairs
 
         # map points
@@ -76,6 +88,7 @@ class MapStore:
         # tracker's last_mp during asynchronous mapping); this table lets
         # them be resolved to the surviving point (MapPoint::GetReplaced)
         self.mp_replaced_by = np.full(max_pts, -1, np.int32)
+        self.mp_global = np.zeros(max_pts, bool)  # prior-map provenance
 
     # ------------------------------------------------------------------ #
     # Lifecycle
@@ -107,6 +120,10 @@ class MapStore:
         self.kf_uv_t = g(self.kf_uv_t, 0.0)
         self.kf_center = g(self.kf_center, 0.0)
         self.kf_parent = g(self.kf_parent, -1)
+        self.kf_cull_parent = g(self.kf_cull_parent, -1)
+        self.kf_cull_rel = g(self.kf_cull_rel, 0.0)
+        self.kf_cull_rel[old:, 0] = 1.0
+        self.kf_global = g(self.kf_global, False)
         self.max_kfs = new
 
     def _grow_map_points(self):
@@ -131,6 +148,7 @@ class MapStore:
         self.mp_obs_feat = g(self.mp_obs_feat, -1)
         self.mp_n_obs = g(self.mp_n_obs, 0)
         self.mp_replaced_by = g(self.mp_replaced_by, -1)
+        self.mp_global = g(self.mp_global, False)
         self.max_pts = new
 
     # ------------------------------------------------------------------ #

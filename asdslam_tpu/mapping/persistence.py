@@ -277,6 +277,7 @@ def import_map(data: VisualMapData, store: MapStore, scale_factors,
     mp_remap = {}
     for i, pos in enumerate(data.mp_positions):
         m = store.add_map_point(pos, np.zeros(128, np.float32), -1)
+        store.mp_global[m] = global_map_flag
         mp_remap[i] = m
 
     for fi, fr in enumerate(data.frames):
@@ -304,6 +305,7 @@ def import_map(data: VisualMapData, store: MapStore, scale_factors,
             angle=jnp.zeros(cap), score=jnp.zeros(cap),
             desc=jnp.asarray(desc), valid=jnp.asarray(valid))
         k = store.add_keyframe(pose7, fi, feats)
+        store.kf_global[k] = global_map_flag
         for j in range(n_use):
             mi = int(fr["obs_mp"][j])
             if mi >= 0 and mi in mp_remap:

@@ -61,6 +61,7 @@ class System:
         if do_loop_closing or localization_mode:
             from asdslam_tpu.loop.loop_closing import LoopCloser
             self.loop_closer = LoopCloser(cfg, self.K, self.store)
+            self.loop_closer.only_global_map = localization_mode
         self.local_mapper = LocalMapper(cfg, self.K, self.store, self.loop_closer)
         self.tracker = Tracker(cfg, self.K, self.extract, self.store,
                                self.local_mapper, localization_only=localization_mode)
@@ -98,6 +99,52 @@ class System:
     def frame_trajectory(self):
         self.finish()
         return list(self.tracker.trajectory)
+
+    def frame_trajectory_recomposed(self):
+        """Reference-protocol frame trajectory (System::SaveTrajectoryTUM,
+        src/vslam/src/System.cc:482-541): each frame's stored ref-KF-relative
+        pose (Tracking.cc:371-375) composed onto the ref KF's FINAL optimized
+        pose, walking cull-time relative links (System.cc:523-528) when the
+        ref KF was culled.  Loop closures and GBA therefore retroactively
+        repair the whole frame trajectory — this is the trajectory the
+        reference evaluates; the live ``frame_trajectory`` is the stricter
+        poses-as-estimated-online variant."""
+        self.finish()
+        from asdslam_tpu.frontend.tracking import _apply_delta_host
+        s = self.store
+        out = []
+        for fid, ref, rel in self.tracker.rel_traj:
+            if ref < 0:
+                out.append((fid, np.asarray(rel).copy()))
+                continue
+            T = np.asarray(rel)
+            k = int(ref)
+            guard = 0
+            while (not s.kf_valid[k] and s.kf_cull_parent[k] >= 0
+                   and guard < 256):
+                T = _apply_delta_host(T, s.kf_cull_rel[k])
+                k = int(s.kf_cull_parent[k])
+                guard += 1
+            if not s.kf_valid[k]:
+                continue  # no surviving anchor: skip (reference drops too)
+            out.append((fid, _apply_delta_host(T, s.kf_pose[k])))
+        return out
+
+    def save_frame_trajectory_tum(self, path: str, timestamps=None,
+                                  recomposed: bool = True):
+        """System::SaveTrajectoryTUM parity: per-FRAME trajectory in TUM
+        format, recomposed through the final keyframe poses by default."""
+        traj = (self.frame_trajectory_recomposed() if recomposed
+                else self.frame_trajectory())
+        with open(path, "w") as f:
+            for frame_id, pose7 in traj:
+                R, t = _pose_np(pose7)
+                Rwc = R.T
+                twc = -R.T @ t
+                q = _mat_to_quat_np(Rwc)
+                ts = frame_id if timestamps is None else timestamps[frame_id]
+                f.write("%f %f %f %f %f %f %f %f\n" % (
+                    ts, twc[0], twc[1], twc[2], q[1], q[2], q[3], q[0]))
 
     def save_trajectory_tum(self, path: str, timestamps=None):
         """TUM format: ts tx ty tz qx qy qz qw, pose = T_wc (inverted)."""

@@ -117,6 +117,15 @@ def main():
     if len(ekf) >= 10:
         result["ate_kf_sim3_m"] = round(
             float(evaluate.ate_rmse(ekf, gkf, align="sim3")), 3)
+    # reference-protocol FRAME trajectory: per-frame relative poses
+    # recomposed through the final keyframe poses (SaveTrajectoryTUM) —
+    # loop/GBA corrections repair the whole frame trajectory
+    est_rc = evaluate.camera_centers(system.frame_trajectory_recomposed())
+    erc, grc = evaluate.associate_by_id(est_rc, gt)
+    if len(erc) >= 10:
+        result["ate_frame_recomposed_m"] = round(
+            float(evaluate.ate_rmse(erc, grc, align="sim3")), 3)
+        result["frames_recomposed"] = len(erc)
     if system.loop_closer is not None:
         result["loop_events"] = [
             {"kf": k, "cand": c, "frame": fr}

@@ -174,6 +174,15 @@ def main():
     if len(ekf) >= 10:
         result["ate_kf_sim3_m"] = round(
             float(evaluate.ate_rmse(ekf, gkf, align="sim3")), 3)
+    # reference-protocol FRAME trajectory: per-frame relative poses
+    # recomposed through the final keyframe poses (SaveTrajectoryTUM) —
+    # loop/GBA corrections repair the whole frame trajectory
+    est_rc = evaluate.camera_centers(system.frame_trajectory_recomposed())
+    erc, grc = evaluate.associate_by_id(est_rc, gt)
+    if len(erc) >= 10:
+        result["ate_frame_recomposed_m"] = round(
+            float(evaluate.ate_rmse(erc, grc, align="sim3")), 3)
+        result["frames_recomposed"] = len(erc)
         kf_ids = sorted(set(est_kf) & set(gt))
         result["drift_kf"] = evaluate.drift_analysis(ekf, gkf, ids=kf_ids)
     if args.profile:

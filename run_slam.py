@@ -55,6 +55,10 @@ def main():
     p.add_argument("--save_result_dir", default="",
                    help="dump track/desc/kps/posi/traj.txt (saveResult parity)")
     p.add_argument("--n_frames", type=int, default=150, help="synthetic only")
+    p.add_argument("--n_devices", type=int, default=1,
+                   help="device-mesh size: >1 routes loop-closure global BA "
+                        "through the point-major distributed solver "
+                        "(parallel/dist.py)")
     p.add_argument("--profile", action="store_true",
                    help="print per-stage wall-time spans at the end")
     p.add_argument("--viz_dir", default="",
@@ -77,6 +81,7 @@ def main():
         min_match_count=args.min_match_count,
         max_step_kf=args.max_step_KF,
         use_orb=args.use_orb,
+        n_devices=args.n_devices,
     )
 
     if args.dataset == "kitti_proxy":

@@ -93,3 +93,71 @@ class TestRelocAcceptance:
         store.mp_valid[:] = mask
         tr.n_inliers = 0
         assert not tr._relocalize(feat)
+
+
+class TestLocExtendMap:
+    """Localization-mode MAP EXTENSION with GlobalMapFlag provenance (the
+    reference's Loc mode keeps tracking against a prior map and can insert
+    new keyframes; prior-map entities carry GlobalMapFlag — KeyFrame.h:142-143
+    — and KeyFrameDatabase filters candidates on it,
+    KeyFrameDatabase.cc:146,229)."""
+
+    def test_build_save_reload_extend_relocalize(self, tmp_path):
+        cfg = small_config().replace(loc_extend_map=True)
+        K = jnp.array([[cfg.fx, 0, cfg.cx], [0, cfg.fy, cfg.cy], [0, 0, 1.0]])
+        scene = synthetic.Scene(back_z=-8.0, front_z=24.0)
+        frames, poses = synthetic.render_sequence(
+            K, n_frames=40, height=cfg.image_height, width=cfg.image_width,
+            step=0.25, turn=0.004, scene=scene)
+
+        # 1) build a map from the FIRST half and save it
+        sys1 = System(cfg, descriptor_fn=patch_descriptor.apply)
+        for i in range(20):
+            sys1.track_monocular(frames[i], i)
+        n_kf_prior = sys1.stats()["n_keyframes"]
+        assert n_kf_prior >= 2
+        path = os.path.join(tmp_path, "chamo.map")
+        sys1.save_map(path)
+
+        # 2) reload in localization mode with extension enabled; track the
+        # WHOLE sequence — the second half extends past the prior map
+        sys2 = System(cfg, descriptor_fn=patch_descriptor.apply,
+                      localization_mode=True)
+        sys2.load_map(path)
+        n_loaded = sys2.store.n_kf
+        assert bool(sys2.store.kf_global[:n_loaded].all())  # provenance: prior
+        for i in range(40):
+            sys2.track_monocular(frames[i], i)
+        sys2.finish()
+
+        # map extension happened, and ONLY new entities lack the flag
+        n_after = sys2.store.n_kf
+        assert n_after > n_loaded, (n_after, n_loaded)
+        assert bool(sys2.store.kf_global[:n_loaded].all())
+        assert not sys2.store.kf_global[n_loaded:n_after].any()
+        new_mp = sys2.store.mp_valid[:sys2.store.n_mp] & \
+            ~sys2.store.mp_global[:sys2.store.n_mp]
+        assert new_mp.sum() > 50  # extension created unflagged points
+
+        # 3) provenance respected by relocalization: a third system loads
+        # nothing but relocalizes against sys2's saved (extended) map; the
+        # restrict mask in localization mode only admits prior-map KFs
+        path2 = os.path.join(tmp_path, "extended.map")
+        sys2.save_map(path2)
+        sys3 = System(cfg, descriptor_fn=patch_descriptor.apply,
+                      localization_mode=True)
+        sys3.load_map(path2)
+        tracked = 0
+        for i in range(0, 20):
+            if sys3.track_monocular(frames[i], i) is not None:
+                tracked += 1
+        assert tracked >= 10, tracked
+
+        # extended trajectory quality: second half matches sys-building run
+        est = evaluate.camera_centers(sys2.frame_trajectory())
+        gt = evaluate.camera_centers(
+            [(i, np.asarray(poses[i])) for i in range(40)])
+        e, g = evaluate.associate_by_id(est, gt)
+        assert len(e) >= 25
+        ate = evaluate.ate_rmse(e, g, align="sim3")
+        assert ate < 0.5, ate

@@ -190,3 +190,51 @@ class TestMultiSequence:
         feats, res = step(imgs, ident, ident, feat0, geom, cand)
         assert res.pose.shape == (B, 7)
         assert np.isfinite(np.asarray(res.pose)).all()
+
+
+class TestSystemMeshGBA:
+    """The distributed GBA as a SYSTEM capability: loop_closing._global_ba
+    routes through the point-major mesh solver when cfg.n_devices > 1, and
+    the result is mesh-size-invariant (the psums are exact sums)."""
+
+    def _build_system_map(self, n_devices):
+        import jax.numpy as jnp
+        from asdslam_tpu.config import SlamConfig
+        from asdslam_tpu.io import synthetic
+        from asdslam_tpu.models import patch_descriptor
+        from asdslam_tpu.system import System
+
+        cfg = SlamConfig(
+            n_features=400, n_levels=3, image_width=256, image_height=192,
+            fx=200.0, fy=200.0, cx=128.0, cy=96.0, min_match_count=60,
+            local_ba_max_points=1024, local_ba_max_obs=4096,
+            max_keyframes=32, max_map_points=8192, n_devices=n_devices)
+        K = jnp.array([[cfg.fx, 0, cfg.cx], [0, cfg.fy, cfg.cy], [0, 0, 1.0]])
+        frames, _ = synthetic.render_sequence(
+            K, n_frames=14, height=cfg.image_height, width=cfg.image_width,
+            step=0.3, turn=0.01)
+        slam = System(cfg, descriptor_fn=patch_descriptor.apply,
+                      do_loop_closing=True)
+        for i in range(frames.shape[0]):
+            slam.track_monocular(frames[i], i)
+        slam.finish()
+        assert slam.store.n_kf >= 3
+        return slam
+
+    def test_system_gba_mesh_size_invariant(self):
+        s1 = self._build_system_map(2)
+        s2 = self._build_system_map(8)
+        # identical deterministic pipelines -> identical pre-GBA maps
+        np.testing.assert_array_equal(
+            s1.store.kf_pose[:s1.store.n_kf], s2.store.kf_pose[:s2.store.n_kf])
+        pre = s1.store.kf_pose[:s1.store.n_kf].copy()
+        s1.loop_closer._global_ba()
+        s2.loop_closer._global_ba()
+        n = s1.store.n_kf
+        assert not np.allclose(pre, s1.store.kf_pose[:n])  # it optimized
+        np.testing.assert_allclose(
+            s1.store.kf_pose[:n], s2.store.kf_pose[:n], atol=2e-4)
+        m1 = s1.store.mp_valid[:s1.store.n_mp]
+        np.testing.assert_allclose(
+            s1.store.mp_pos[:s1.store.n_mp][m1],
+            s2.store.mp_pos[:s2.store.n_mp][m1], atol=2e-3)

@@ -34,7 +34,12 @@ def main():
     ap.add_argument("--pool", type=int, default=40000,
                     help="pre-generated pair pool size")
     ap.add_argument("--eval_pairs", type=int, default=4000)
-    ap.add_argument("--seq", default="00")
+    ap.add_argument("--seq", default="00",
+                    help="proxy sequence(s), comma-separated: pairs are "
+                         "drawn round-robin across sequences (multi-world "
+                         "texture/motion diversity — the step toward the "
+                         "reference's multi-set PhotoTour regime, "
+                         "ASDNet.py:539-561)")
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--base_lr", type=float, default=0.5)
     ap.add_argument("--phototour", default="", help="local PhotoTour dir")
@@ -72,12 +77,23 @@ def main():
             print(f"loaded {len(pool_a)} cached pairs from {cache}", flush=True)
         else:
             from asdslam_tpu.models.proxy_pairs import ProxyPairSource
-            src = ProxyPairSource(args.seq, scale=args.scale)
+            seqs = [q.strip() for q in args.seq.split(",") if q.strip()]
             t0 = time.time()
-            pool_a, pool_p = src.sample(args.pool)
-            # held-out pairs from a DIFFERENT part of the trajectory
-            src2 = ProxyPairSource(args.seq, scale=args.scale, seed=99)
-            eval_a, eval_p = src2.sample(args.eval_pairs)
+            per = -(-args.pool // len(seqs))
+            pools = []
+            for q in seqs:
+                src = ProxyPairSource(q, scale=args.scale)
+                pools.append(src.sample(per))
+                print(f"  seq {q}: {per} pairs "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+            pool_a = np.concatenate([a for a, _ in pools])[:args.pool]
+            pool_p = np.concatenate([b for _, b in pools])[:args.pool]
+            # held-out pairs from a DIFFERENT sampling stream (all seqs)
+            per_e = -(-args.eval_pairs // len(seqs))
+            evals = [ProxyPairSource(q, scale=args.scale, seed=99).sample(per_e)
+                     for q in seqs]
+            eval_a = np.concatenate([a for a, _ in evals])[:args.eval_pairs]
+            eval_p = np.concatenate([b for _, b in evals])[:args.eval_pairs]
             print(f"pair generation: {time.time() - t0:.0f}s", flush=True)
             if cache:
                 np.savez_compressed(cache, pool_a=pool_a, pool_p=pool_p,
@@ -122,6 +138,7 @@ def main():
         "steps": args.steps, "batch": args.batch,
         "train_pairs": len(pool_a), "eval_pairs": len(eval_a),
         "source": args.phototour or f"kitti_proxy_{args.seq}",
+        "base_lr": args.base_lr,
         "train_s": round(time.time() - t0, 1),
     }
     print(json.dumps(res), flush=True)
