@@ -110,8 +110,16 @@ class LoopCloser:
             return
         # fixed training-set shape: the k-means programs compile per shape,
         # and a data-dependent descriptor count would miss the persistent
-        # compilation cache on every run (~1 min over a remote-compile link)
-        CAP = 8192
+        # compilation cache on every run (~1 min over a remote-compile link).
+        # This online fallback trains on far less data than the offline
+        # workflow (train_vocab.py / --voc_addr, the reference's
+        # small_voc.yml.gz path) — say so loudly instead of silently
+        # degrading loop recall.
+        CAP = 16384
+        print(f"[loop_closing] training ONLINE vocabulary from {len(D)} "
+              f"descriptors (capped {CAP}); for best loop recall supply an "
+              f"offline vocabulary via --voc_addr (train_vocab.py)",
+              flush=True)
         if len(D) >= CAP:
             sel = np.random.default_rng(11).choice(len(D), CAP, replace=False)
             D = D[sel]

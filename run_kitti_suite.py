@@ -29,17 +29,23 @@ REFERENCE_ATE = {  # BASELINE.md (real imagery — context, not comparison)
 
 
 def make_table(rows):
-    lines = ["| Seq | Frames | Tracked | KFs | Loops | frame ATE (m) | %path |"
-             " KF ATE (m) | fps | ref ASD (real imagery, m) |",
-             "|---|---|---|---|---|---|---|---|---|---|"]
+    lines = ["| Seq | Frames | Tracked | KFs | Loops | frame ATE (m) |"
+             " recomposed (m) | %path | KF ATE (m) | fps | fps_track |"
+             " ref ASD (real imagery, m) |",
+             "|---|---|---|---|---|---|---|---|---|---|---|---|"]
     for r in rows:
         ate = r.get("ate_sim3_m", float("nan"))
+        rca = r.get("ate_frame_recomposed_m", "-")
         kfa = r.get("ate_kf_sim3_m", "-")
         pl = r.get("path_length_m", 0) or 1
+        # %path over the RECOMPOSED frame ATE when available (the
+        # reference-protocol number); falls back to the live frame ATE
+        pct = rca if isinstance(rca, float) else ate
         lines.append(
             f"| {r['seq']} | {r['frames']} | {r['tracked']} | {r['keyframes']}"
-            f" | {r.get('loops_closed', 0)} | {ate} |"
-            f" {100.0 * ate / pl:.2f}% | {kfa} | {r.get('fps', 0)} |"
+            f" | {r.get('loops_closed', 0)} | {ate} | {rca} |"
+            f" {100.0 * pct / pl:.2f}% | {kfa} | {r.get('fps', 0)} |"
+            f" {r.get('fps_tracking', '-')} |"
             f" {REFERENCE_ATE.get(r['seq'], '-')} |")
     return "\n".join(lines)
 
