@@ -30,6 +30,7 @@ Prints ONE JSON line.
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -61,7 +62,7 @@ def main():
     from asdslam_tpu.io import synthetic
     from asdslam_tpu.backend import ba
 
-    cfg = SlamConfig()  # KITTI defaults: 2000 features, 8 levels, 1241x376
+    cfg = SlamConfig(use_pallas_match='--no_pallas' not in sys.argv)  # KITTI defaults: 2000 features, 8 levels, 1241x376
     K = jnp.array([[cfg.fx, 0, cfg.cx], [0, cfg.fy, cfg.cy], [0, 0, 1.0]], jnp.float32)
     weights_path = os.path.join(os.path.dirname(__file__), "asdnet_weights.pkl")
     if os.path.exists(weights_path):
