@@ -529,15 +529,15 @@ class Tracker:
         self._map_thread = t
         t.start()
 
-    def _join_mapping(self, invalidate: bool = True):
+    def _join_mapping(self):
         """Join the mapping worker and apply its effects to the tracker:
         buffered visibility counters, binding resolution (points merged or
         culled by the mapper), the relative pose correction for the BA's
-        adjustment of the keyframe, and (by default) device-state
-        invalidation so the next dispatch realigns to the post-mapping map.
-        invalidate=False keeps the device chain running on the pre-mapping
-        candidate block (used when a new KF is created in the same step —
-        its own mapping pass ends in a normal invalidating join)."""
+        adjustment of the keyframe, and device-state invalidation so the
+        next dispatch realigns to the post-mapping map.  (A no-invalidate
+        variant that kept the chain on the pre-mapping block was A/B'd and
+        rejected: without a rebuild, fresh triangulations never reach the
+        tracker and sustained-decay sections spiral into emergency KFs.)"""
         if self._map_thread is None:
             return
         with self.tracer.span("join_mapping"):
@@ -579,11 +579,8 @@ class Tracker:
             # loop correction moved (and rescaled) the map: the motion
             # model is stale — force a full staged re-anchor next frame
             self.velocity = None
-            invalidate = True  # the old candidate block is in pre-loop
-            #                    coordinates: never keep tracking against it
-        if invalidate:
-            # the map changed under the device blocks: realign at dispatch
-            self._invalidate_device_state()
+        # the map changed under the device blocks: realign at next dispatch
+        self._invalidate_device_state()
 
     def _apply_buffers(self):
         store = self.store
