@@ -38,6 +38,13 @@ OK = 2
 LOST = 3
 
 
+def cfg_giveup(cfg) -> int:
+    """Consecutive lost frames before giving up on relocalization and
+    re-initializing (4x the max KF step: far beyond any transient loss the
+    reference's relocalizer recovers from)."""
+    return 4 * cfg.max_step_kf
+
+
 class Tracker:
     def __init__(self, cfg: SlamConfig, K, extractor, store: MapStore, local_mapper=None,
                  localization_only: bool = False):
@@ -95,6 +102,7 @@ class Tracker:
         self.ref_kf = -1
         self.last_kf_frame_id = -1
         self.n_inliers = 0
+        self._lost_streak = 0          # consecutive untracked frames
 
         self.trajectory = []           # (frame_id, pose7) after each frame
         # reference-protocol relative trajectory (Tracking.cc:371-375 pushes
@@ -236,6 +244,17 @@ class Tracker:
                 self._after_pose(feat, frame_id)
             else:
                 self._save_frame(feat, frame_id, tracked=False)
+                # consume the reference's declared-but-unconsumed
+                # reloc_fail_count intent (Tracking.h:208 "re-initialize if
+                # many"): after a prolonged loss the camera has left the
+                # map's visibility — relocalization is hopeless and the
+                # reference would stay LOST forever.  Reset and bootstrap a
+                # fresh map instead (odometry resumes; the trajectory
+                # restarts in the new epoch's frame).
+                if (not self.localization_only
+                        and self._lost_streak > cfg_giveup(self.cfg)):
+                    self._reset()
+                    self.state = NOT_INITIALIZED
         if self.last_pose is not None and self.state == OK:
             self._append_traj(frame_id)
             return self.last_pose
@@ -856,6 +875,9 @@ class Tracker:
         self.last_frame_id = frame_id
         if not tracked:
             self.velocity = None
+            self._lost_streak += 1
+        else:
+            self._lost_streak = 0
 
     # ---- motion model ------------------------------------------------- #
     def _track_motion_model(self, feat) -> bool:
